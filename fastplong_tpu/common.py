@@ -1,0 +1,43 @@
+"""Shared constants for fastplong-tpu.
+
+Behavioral contract mirrors the reference implementation's constants
+(/root/reference/src/common.h:25-64): filter-result codes, failure tags
+appended to failed read names, and batching defaults.  The numeric values of
+the FAIL_* codes are part of the output contract (bigger number means worse;
+tags are written verbatim into failed_out records).
+"""
+
+VERSION = "0.4.1"  # capability parity target (reference src/common.h:4)
+
+ATCG_BASES = ("A", "T", "C", "G")
+
+# Filter result codes (reference src/common.h:43-53).
+PASS_FILTER = 0
+FAIL_POLY_X = 4
+FAIL_OVERLAP = 8
+FAIL_N_BASE = 12
+FAIL_LENGTH = 16
+FAIL_TOO_LONG = 17
+FAIL_QUALITY = 20
+FAIL_COMPLEXITY = 24
+
+FILTER_RESULT_TYPES = 32
+
+# Failure tag strings appended (space-separated) to the name line of reads
+# written to --failed_out (reference src/common.h:55-64).
+FAILED_TYPES = [
+    "passed", "", "", "",
+    "failed_polyx_filter", "", "", "",
+    "failed_bad_overlap", "", "", "",
+    "failed_too_many_n_bases", "", "", "",
+    "failed_too_short", "failed_too_long", "", "",
+    "failed_quality_filter", "", "", "",
+    "failed_low_complexity", "", "", "",
+    "", "", "", "",
+]
+
+# Host pipeline batching defaults (ours, not the reference's thread-pack
+# constants): the device consumes fixed-shape [B, L] batches; the host packs
+# roughly TOKENS_PER_BATCH bases per batch within a length bucket.
+TOKENS_PER_BATCH = 1 << 22  # 4M bases per device batch
+MAX_BATCH_READS = 4096

@@ -1,0 +1,294 @@
+"""Streaming FASTQ reader producing columnar record blocks.
+
+Instead of per-read objects (the reference heap-allocates a Read per record,
+src/fastqreader.cpp:288-347), records are parsed in bulk into a shared byte
+buffer plus numpy offset arrays — the natural feed format for packing padded
+[B, L] device batches while keeping the original bytes around for exact
+output reconstruction.
+
+Semantics preserved from the reference reader:
+  * lines split on \n / \r\n (src/fastqreader.cpp:219-286)
+  * leading junk lines before a record are skipped until a line starting
+    with '@' (src/fastqreader.cpp:323-326)
+  * a record whose 3rd line doesn't start with '+', or whose quality length
+    differs from its sequence length, stops parsing with a diagnostic on
+    stderr — the reference treats this as end-of-input
+    (src/fastqreader.cpp:313-341)
+  * multi-member gzip input and stdin are supported (src/fastqreader.cpp:79-179)
+"""
+
+import sys
+import numpy as np
+
+from .compression import StreamingGzipDecompressor
+
+CHUNK = 1 << 23  # 8MB read buffer, like reference FQ_BUF_SIZE
+
+
+class RecordBlock:
+    """A batch of parsed FASTQ records backed by one bytes buffer."""
+
+    __slots__ = ("buf", "arr", "n", "name_off", "name_len", "seq_off",
+                 "seq_len", "qual_off", "first_index")
+
+    def __init__(self, buf, arr, name_off, name_len, seq_off, seq_len,
+                 qual_off, first_index=0):
+        self.buf = buf
+        self.arr = arr  # uint8 view of buf
+        self.n = len(seq_off)
+        self.name_off = name_off
+        self.name_len = name_len
+        self.seq_off = seq_off
+        self.seq_len = seq_len
+        self.qual_off = qual_off
+        self.first_index = first_index  # global index of first record
+
+    def name(self, i) -> bytes:
+        o = self.name_off[i]
+        return self.buf[o:o + self.name_len[i]]
+
+    def seq(self, i) -> bytes:
+        o = self.seq_off[i]
+        return self.buf[o:o + self.seq_len[i]]
+
+    def qual(self, i) -> bytes:
+        o = self.qual_off[i]
+        return self.buf[o:o + self.seq_len[i]]
+
+
+def _parse_lines(buf: bytes, eof: bool):
+    """Split buf into lines; returns (starts, ends, consumed_bytes).
+
+    ends exclude the line terminator; a trailing '\r' is stripped.  If not
+    eof, the trailing partial line is left unconsumed.
+    """
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    nl = np.flatnonzero(arr == 10)
+    if len(nl) == 0:
+        if eof and len(buf):
+            ends = np.asarray([len(buf)], dtype=np.int64)
+            starts = np.asarray([0], dtype=np.int64)
+            if arr[-1] == 13:
+                ends[0] -= 1
+            return starts, ends, len(buf)
+        return (np.empty(0, np.int64),) * 2 + (0,)
+    starts = np.empty(len(nl), dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = nl[:-1] + 1
+    ends = nl.copy()
+    consumed = int(nl[-1]) + 1
+    if eof and consumed < len(buf):
+        # final line without newline
+        starts = np.append(starts, consumed)
+        e = len(buf)
+        if arr[-1] == 13:
+            e -= 1
+        ends = np.append(ends, e)
+        consumed = len(buf)
+    # strip trailing \r
+    has_cr = (ends > starts) & (arr[np.minimum(ends - 1, len(arr) - 1)] == 13)
+    ends = ends - has_cr.astype(np.int64)
+    return starts, ends, consumed
+
+
+class FastqStreamReader:
+    """Streams RecordBlocks from a FASTQ file (.fq / .fq.gz / stdin)."""
+
+    def __init__(self, filename: str, max_records: int = 65536):
+        self.filename = filename
+        self.max_records = max_records
+        self.stopped = False      # set on malformed record (reference: EOF)
+        self._records_out = 0
+        self._bytes_read = 0
+        self._bytes_total = 0
+        self._pending = b""
+        self._eof = False
+        self._gz = None
+        if filename == "/dev/stdin" or filename == "-":
+            self._fh = sys.stdin.buffer
+            self._seekable = False
+        else:
+            self._fh = open(filename, "rb")
+            self._seekable = True
+            try:
+                import os
+                self._bytes_total = os.fstat(self._fh.fileno()).st_size
+            except OSError:
+                self._bytes_total = 0
+            magic = self._fh.read(2)
+            self._fh.seek(0)
+            if magic == b"\x1f\x8b":
+                self._gz = StreamingGzipDecompressor()
+
+    def get_bytes(self):
+        """(bytes_read, bytes_total) of the underlying file — used by the
+        evaluator's read-count extrapolation (reference fastqreader.cpp:190-200)."""
+        return self._bytes_read, self._bytes_total
+
+    def close(self):
+        if self._fh is not sys.stdin.buffer:
+            self._fh.close()
+
+    def _read_chunk(self):
+        raw = self._fh.read(CHUNK)
+        self._bytes_read += len(raw)
+        if not raw:
+            self._eof = True
+            return b""
+        if self._gz is not None:
+            return self._gz.decompress(raw)
+        return raw
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> RecordBlock:
+        block = self.next_block()
+        if block is None:
+            raise StopIteration
+        return block
+
+    def next_block(self):
+        """Returns the next RecordBlock, or None at end of input."""
+        if self.stopped:
+            return None
+        target = CHUNK
+        while True:
+            if self._eof and not self._pending:
+                return None
+            # accumulate enough data (grown when a record spans the buffer)
+            if not self._eof and len(self._pending) < target:
+                parts = [self._pending]
+                size = len(self._pending)
+                while not self._eof and size < target:
+                    c = self._read_chunk()
+                    parts.append(c)
+                    size += len(c)
+                self._pending = b"".join(parts)
+            buf = self._pending
+            starts, ends, consumed = _parse_lines(buf, self._eof)
+            if len(starts) == 0:
+                if self._eof:
+                    self._pending = b""
+                    return None
+                target = len(self._pending) + CHUNK
+                continue
+            block, lines_used, stop = self._assemble(buf, starts, ends)
+            if stop:
+                self.stopped = True
+            if lines_used == 0 and not stop:
+                if self._eof:
+                    self._pending = b""
+                    return None
+                target = len(self._pending) + CHUNK
+                continue
+            if lines_used < len(starts):
+                self._pending = buf[int(starts[lines_used]):]
+            else:
+                self._pending = buf[consumed:]
+            if block is None or block.n == 0:
+                if stop or (self._eof and not self._pending):
+                    return block if (block and block.n) else None
+                target = len(self._pending) + CHUNK
+                continue
+            return block
+
+    def _assemble(self, buf, starts, ends):
+        """Group lines into records. Returns (RecordBlock|None, lines_used, stop)."""
+        arr = np.frombuffer(buf, dtype=np.uint8)
+        nlines = len(starts)
+        lens = ends - starts
+        first_char = np.where(lens > 0, arr[np.minimum(starts, len(arr) - 1)], 0)
+
+        # Fast path: perfectly regular 4-line records.
+        nrec = nlines // 4
+        if nrec > 0:
+            at = first_char[0:nrec * 4:4] == ord("@")
+            plus = first_char[2:nrec * 4:4] == ord("+")
+            same = lens[1:nrec * 4:4] == lens[3:nrec * 4:4]
+            if at.all() and plus.all() and same.all():
+                nrec = min(nrec, self.max_records)
+                u = nrec * 4
+                block = RecordBlock(
+                    buf, arr,
+                    starts[0:u:4], lens[0:u:4],
+                    starts[1:u:4], lens[1:u:4],
+                    starts[3:u:4],
+                    first_index=self._records_out)
+                self._records_out += nrec
+                return block, u, False
+
+        # Slow path with reference-exact skipping/validation.
+        return self._assemble_slow(buf, arr, starts, ends, first_char)
+
+    def _assemble_slow(self, buf, arr, starts, ends, first_char):
+        name_off, name_len = [], []
+        seq_off, seq_len = [], []
+        qual_off = []
+        i = 0
+        nlines = len(starts)
+        stop = False
+        used = 0
+        at = ord("@")
+        while i < nlines and len(seq_off) < self.max_records:
+            # skip lines until one starts with '@' (empty lines skipped too)
+            j = i
+            while j < nlines and not (ends[j] > starts[j] and first_char[j] == at):
+                j += 1
+            if j >= nlines:
+                used = nlines if self._eof else i
+                break
+            if j + 3 >= nlines:
+                if self._eof:
+                    # Truncated record at EOF: reference getLine yields empty
+                    # strings for the missing lines, so the strand check fails
+                    # (src/fastqreader.cpp:313-318).
+                    name = buf[starts[j]:ends[j]].decode("latin-1")
+                    strand = (buf[starts[j + 2]:ends[j + 2]].decode("latin-1")
+                              if j + 2 < nlines else "")
+                    if not strand or strand[0] != "+":
+                        sys.stderr.write(name + "\n")
+                        sys.stderr.write("Expected '+', got %s\n" % strand)
+                    else:
+                        # strand ok but quality line missing -> length mismatch
+                        sys.stderr.write("ERROR: sequence and quality have different length:\n")
+                        sys.stderr.write(name + "\n")
+                    sys.stderr.write("Your FASTQ may be invalid, please check the tail of your FASTQ file\n")
+                    stop = True
+                    used = nlines
+                    break
+                used = j
+                break
+            nm, sq, st, ql = j, j + 1, j + 2, j + 3
+            strand_ok = ends[st] > starts[st] and first_char[st] == ord("+")
+            if not strand_ok:
+                sys.stderr.write(buf[starts[nm]:ends[nm]].decode("latin-1") + "\n")
+                sys.stderr.write("Expected '+', got %s\n"
+                                 % buf[starts[st]:ends[st]].decode("latin-1"))
+                sys.stderr.write("Your FASTQ may be invalid, please check the tail of your FASTQ file\n")
+                stop = True
+                used = nlines
+                break
+            if ends[ql] - starts[ql] != ends[sq] - starts[sq]:
+                sys.stderr.write("ERROR: sequence and quality have different length:\n")
+                for k in (nm, sq, st, ql):
+                    sys.stderr.write(buf[starts[k]:ends[k]].decode("latin-1") + "\n")
+                sys.stderr.write("Your FASTQ may be invalid, please check the tail of your FASTQ file\n")
+                stop = True
+                used = nlines
+                break
+            name_off.append(starts[nm]); name_len.append(ends[nm] - starts[nm])
+            seq_off.append(starts[sq]); seq_len.append(ends[sq] - starts[sq])
+            qual_off.append(starts[ql])
+            i = ql + 1
+            used = i
+        if not name_off:
+            return None, used, stop
+        block = RecordBlock(
+            buf, arr,
+            np.asarray(name_off, np.int64), np.asarray(name_len, np.int64),
+            np.asarray(seq_off, np.int64), np.asarray(seq_len, np.int64),
+            np.asarray(qual_off, np.int64),
+            first_index=self._records_out)
+        self._records_out += block.n
+        return block, used, stop

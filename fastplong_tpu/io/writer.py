@@ -1,0 +1,59 @@
+"""Buffered output writer.
+
+Mirrors the reference Writer (src/writer.cpp:61-133): a 4MB in-memory
+buffer; when the output name ends with .gz, every flushed buffer becomes an
+independent gzip member (libdeflate whole-buffer compress), otherwise plain
+bytes.  STDOUT mode writes to sys.stdout.buffer uncompressed.
+
+Compression of flushed buffers can optionally be fanned out to a thread pool
+(gzip members are independent) — the ordered variant used by the pipeline
+runner lives in pipeline/runner.py.
+"""
+
+import sys
+
+from .compression import GzipMemberCompressor
+
+
+class Writer:
+    def __init__(self, filename: str, compression: int = 4,
+                 stdout: bool = False, buffer_size: int = 1 << 22):
+        self.filename = filename
+        self.stdout = stdout
+        self.zipped = False
+        self._buf = bytearray()
+        self._bufsize = buffer_size
+        self._compressor = None
+        if stdout:
+            self._fp = sys.stdout.buffer
+        else:
+            self._fp = open(filename, "wb")
+            if filename.endswith(".gz"):
+                self.zipped = True
+                self._compressor = GzipMemberCompressor(compression)
+
+    def write(self, data: bytes):
+        if len(data) + len(self._buf) > self._bufsize:
+            self.flush()
+        if len(data) > self._bufsize:
+            self._write_internal(bytes(data))
+        else:
+            self._buf += data
+
+    def flush(self):
+        if self._buf:
+            self._write_internal(bytes(self._buf))
+            self._buf = bytearray()
+
+    def _write_internal(self, data: bytes):
+        if self.zipped:
+            data = self._compressor.compress(data)
+        self._fp.write(data)
+
+    def close(self):
+        self.flush()
+        if self._compressor:
+            self._compressor.close()
+            self._compressor = None
+        if not self.stdout:
+            self._fp.close()

@@ -1,0 +1,131 @@
+import gzip
+import io
+import os
+
+import numpy as np
+import pytest
+
+from fastplong_tpu.io.fastq import FastqStreamReader
+from fastplong_tpu.io.fasta import FastaReader
+from fastplong_tpu.io.writer import Writer
+
+
+def write_fastq(path, records):
+    with open(path, "w") as f:
+        for name, seq, qual in records:
+            f.write("%s\n%s\n+\n%s\n" % (name, seq, qual))
+
+
+RECORDS = [
+    ("@read1 desc", "ACGTACGTAA", "IIIIIIIIII"),
+    ("@read2", "GGGG", "!!!!"),
+    ("@read3", "ACGTN", "IIIII"),
+]
+
+
+def collect(reader):
+    out = []
+    while True:
+        b = reader.next_block()
+        if b is None:
+            break
+        for i in range(b.n):
+            out.append((b.name(i).decode(), b.seq(i).decode(), b.qual(i).decode()))
+    return out
+
+
+def test_plain_roundtrip(tmp_path):
+    p = str(tmp_path / "in.fq")
+    write_fastq(p, RECORDS)
+    got = collect(FastqStreamReader(p))
+    assert got == RECORDS
+
+
+def test_gzip_roundtrip(tmp_path):
+    p = str(tmp_path / "in.fq.gz")
+    body = "".join("%s\n%s\n+\n%s\n" % r for r in RECORDS)
+    with gzip.open(p, "wt") as f:
+        f.write(body)
+    got = collect(FastqStreamReader(p))
+    assert got == RECORDS
+
+
+def test_multimember_gzip(tmp_path):
+    p = str(tmp_path / "in.fq.gz")
+    with open(p, "wb") as f:
+        for r in RECORDS:
+            f.write(gzip.compress(("%s\n%s\n+\n%s\n" % r).encode()))
+    got = collect(FastqStreamReader(p))
+    assert got == RECORDS
+
+
+def test_no_trailing_newline(tmp_path):
+    p = str(tmp_path / "in.fq")
+    with open(p, "w") as f:
+        f.write("@r1\nACGT\n+\nIIII")  # no final \n
+    got = collect(FastqStreamReader(p))
+    assert got == [("@r1", "ACGT", "IIII")]
+
+
+def test_crlf(tmp_path):
+    p = str(tmp_path / "in.fq")
+    with open(p, "wb") as f:
+        f.write(b"@r1\r\nACGT\r\n+\r\nIIII\r\n")
+    got = collect(FastqStreamReader(p))
+    assert got == [("@r1", "ACGT", "IIII")]
+
+
+def test_skip_junk_lines(tmp_path):
+    p = str(tmp_path / "in.fq")
+    with open(p, "w") as f:
+        f.write("\n\njunk\n@r1\nACGT\n+\nIIII\n")
+    got = collect(FastqStreamReader(p))
+    assert got == [("@r1", "ACGT", "IIII")]
+
+
+def test_malformed_strand_stops(tmp_path, capsys):
+    p = str(tmp_path / "in.fq")
+    with open(p, "w") as f:
+        f.write("@r1\nACGT\n+\nIIII\n@r2\nACGT\nX\nIIII\n@r3\nACGT\n+\nIIII\n")
+    got = collect(FastqStreamReader(p))
+    # parsing stops at the malformed record, like the reference reader
+    assert got == [("@r1", "ACGT", "IIII")]
+
+
+def test_qual_len_mismatch_stops(tmp_path):
+    p = str(tmp_path / "in.fq")
+    with open(p, "w") as f:
+        f.write("@r1\nACGT\n+\nIII\n@r2\nACGT\n+\nIIII\n")
+    got = collect(FastqStreamReader(p))
+    assert got == []
+
+
+def test_fasta(tmp_path):
+    p = str(tmp_path / "a.fa")
+    with open(p, "w") as f:
+        f.write(">a1 desc\nacgt\nACGT\n>a2\nTT TT\n12\nGG\n")
+    r = FastaReader(p)
+    r.read_all()
+    assert r.contigs["a1 desc"] == "ACGTACGT"
+    assert r.contigs["a2"] == "TTTTGG"
+
+
+def test_writer_plain(tmp_path):
+    p = str(tmp_path / "out.fq")
+    w = Writer(p)
+    w.write(b"hello ")
+    w.write(b"world")
+    w.close()
+    assert open(p, "rb").read() == b"hello world"
+
+
+def test_writer_gzip_members(tmp_path):
+    p = str(tmp_path / "out.fq.gz")
+    w = Writer(p, compression=4, buffer_size=8)
+    w.write(b"0123456")   # fits buffer
+    w.write(b"89abcdef")  # forces flush of first, then buffers
+    w.close()
+    data = open(p, "rb").read()
+    # two independent gzip members
+    assert data.count(b"\x1f\x8b") >= 2
+    assert gzip.decompress(data) == b"012345689abcdef"
