@@ -29,10 +29,11 @@ class RecordBlock:
     """A batch of parsed FASTQ records backed by one bytes buffer."""
 
     __slots__ = ("buf", "arr", "n", "name_off", "name_len", "seq_off",
-                 "seq_len", "qual_off", "first_index")
+                 "seq_len", "strand_off", "strand_len", "qual_off",
+                 "first_index")
 
     def __init__(self, buf, arr, name_off, name_len, seq_off, seq_len,
-                 qual_off, first_index=0):
+                 strand_off, strand_len, qual_off, first_index=0):
         self.buf = buf
         self.arr = arr  # uint8 view of buf
         self.n = len(seq_off)
@@ -40,6 +41,8 @@ class RecordBlock:
         self.name_len = name_len
         self.seq_off = seq_off
         self.seq_len = seq_len
+        self.strand_off = strand_off
+        self.strand_len = strand_len
         self.qual_off = qual_off
         self.first_index = first_index  # global index of first record
 
@@ -50,6 +53,10 @@ class RecordBlock:
     def seq(self, i) -> bytes:
         o = self.seq_off[i]
         return self.buf[o:o + self.seq_len[i]]
+
+    def strand(self, i) -> bytes:
+        o = self.strand_off[i]
+        return self.buf[o:o + self.strand_len[i]]
 
     def qual(self, i) -> bytes:
         o = self.qual_off[i]
@@ -213,6 +220,7 @@ class FastqStreamReader:
                     buf, arr,
                     starts[0:u:4], lens[0:u:4],
                     starts[1:u:4], lens[1:u:4],
+                    starts[2:u:4], lens[2:u:4],
                     starts[3:u:4],
                     first_index=self._records_out)
                 self._records_out += nrec
@@ -224,6 +232,7 @@ class FastqStreamReader:
     def _assemble_slow(self, buf, arr, starts, ends, first_char):
         name_off, name_len = [], []
         seq_off, seq_len = [], []
+        strand_off, strand_len = [], []
         qual_off = []
         i = 0
         nlines = len(starts)
@@ -279,6 +288,7 @@ class FastqStreamReader:
                 break
             name_off.append(starts[nm]); name_len.append(ends[nm] - starts[nm])
             seq_off.append(starts[sq]); seq_len.append(ends[sq] - starts[sq])
+            strand_off.append(starts[st]); strand_len.append(ends[st] - starts[st])
             qual_off.append(starts[ql])
             i = ql + 1
             used = i
@@ -288,6 +298,7 @@ class FastqStreamReader:
             buf, arr,
             np.asarray(name_off, np.int64), np.asarray(name_len, np.int64),
             np.asarray(seq_off, np.int64), np.asarray(seq_len, np.int64),
+            np.asarray(strand_off, np.int64), np.asarray(strand_len, np.int64),
             np.asarray(qual_off, np.int64),
             first_index=self._records_out)
         self._records_out += block.n
