@@ -39,5 +39,8 @@ FAILED_TYPES = [
 # Host pipeline batching defaults (ours, not the reference's thread-pack
 # constants): the device consumes fixed-shape [B, L] batches; the host packs
 # roughly TOKENS_PER_BATCH bases per batch within a length bucket.
-TOKENS_PER_BATCH = 1 << 22  # 4M bases per device batch
-MAX_BATCH_READS = 4096
+# Overridable via env for tests (small shapes compile much faster).
+import os as _os
+
+TOKENS_PER_BATCH = int(_os.environ.get("FASTPLONG_TOKENS_PER_BATCH", 1 << 22))
+MAX_BATCH_READS = int(_os.environ.get("FASTPLONG_MAX_BATCH_READS", 4096))

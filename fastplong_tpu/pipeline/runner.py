@@ -161,13 +161,19 @@ class SingleEndRunner:
                     buf[strand_off[i]:strand_off[i] + strand_len[i]], _NL,
                     buf[qo + lo:qo + hi], _NL)
             elif write_failed:
-                # failed reads are written as the ORIGINAL read + tag
+                # The reference trims or1 IN PLACE (trimAndCut/polyX mutate
+                # the same Read object), so failed_out records carry the
+                # trimmed read + failure tag (seprocessor.cpp:278-279).
+                lo = res.lo[i]
+                hi = res.hi[i]
+                so = seq_off[i]
+                qo = qual_off[i]
                 failed_pieces += (
                     buf[name_off[i]:name_off[i] + name_len[i]],
                     b" ", FAILED_TYPES[res.code[i]].encode(), _NL,
-                    buf[seq_off[i]:seq_off[i] + block.seq_len[i]], _NL,
+                    buf[so + lo:so + hi], _NL,
                     buf[strand_off[i]:strand_off[i] + strand_len[i]], _NL,
-                    buf[qual_off[i]:qual_off[i] + block.seq_len[i]], _NL)
+                    buf[qo + lo:qo + hi], _NL)
         if out_pieces and write_out:
             self.out_writer.write(b"".join(out_pieces))
         if failed_pieces:

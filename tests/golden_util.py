@@ -1,0 +1,109 @@
+"""Helpers for golden-output tests against the real reference binary.
+
+The reference is built out-of-tree (tests/golden/build_reference.sh) with
+scalar shim headers; tests compare our outputs byte-for-byte.
+"""
+
+import os
+import re
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REF_BIN = os.environ.get("FASTPLONG_REF_BIN", "/tmp/fastplong_ref/fastplong")
+
+
+def ensure_reference():
+    if os.path.exists(REF_BIN):
+        return REF_BIN
+    script = os.path.join(HERE, "golden", "build_reference.sh")
+    try:
+        subprocess.run(["bash", script], check=True, capture_output=True,
+                       timeout=600)
+    except Exception as e:
+        pytest.skip("cannot build reference binary: %s" % e)
+    if not os.path.exists(REF_BIN):
+        pytest.skip("reference binary missing after build")
+    return REF_BIN
+
+
+def write_random_fastq(path, n_reads=300, min_len=40, max_len=400, seed=0,
+                       n_prob=0.02, adapter_start=None, adapter_end=None,
+                       adapter_prob=0.0, polya_prob=0.0):
+    rng = np.random.default_rng(seed)
+    with open(path, "w") as f:
+        for i in range(n_reads):
+            n = int(rng.integers(min_len, max_len + 1))
+            p = (1 - n_prob) / 4
+            seq = "".join(rng.choice(list("ACGTN"), size=n,
+                                     p=[p, p, p, p, n_prob]))
+            if adapter_start and rng.random() < adapter_prob:
+                cut = int(rng.integers(0, 30))
+                seq = adapter_start[cut:] + seq
+            if polya_prob and rng.random() < polya_prob:
+                seq = seq + "A" * int(rng.integers(5, 40))
+            if adapter_end and rng.random() < adapter_prob:
+                cut = int(rng.integers(0, 30))
+                seq = seq + adapter_end[:len(adapter_end) - cut]
+            qual = "".join(chr(int(q))
+                           for q in rng.integers(33 + 2, 33 + 41, size=len(seq)))
+            f.write("@r%d some desc\n%s\n+\n%s\n" % (i, seq, qual))
+    return path
+
+
+def run_reference(in_fq, workdir, extra_args):
+    ref = ensure_reference()
+    out = os.path.join(workdir, "ref_out.fq")
+    failed = os.path.join(workdir, "ref_failed.fq")
+    js = os.path.join(workdir, "ref.json")
+    html = os.path.join(workdir, "ref.html")
+    r = subprocess.run(
+        [ref, "-i", in_fq, "-o", out, "--failed_out", failed,
+         "-j", js, "-h", html] + extra_args,
+        capture_output=True, timeout=300)
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    return out, failed, js, r.stderr.decode()
+
+
+def run_ours(in_fq, workdir, extra_args):
+    from fastplong_tpu.main import main
+    out = os.path.join(workdir, "my_out.fq")
+    failed = os.path.join(workdir, "my_failed.fq")
+    js = os.path.join(workdir, "my.json")
+    html = os.path.join(workdir, "my.html")
+    argv = ["fastplong", "-i", in_fq, "-o", out, "--failed_out", failed,
+            "-j", js, "-h", html] + extra_args
+    main(argv)
+    return out, failed, js
+
+
+def strip_command(text):
+    return re.sub(r'"command": ".*"', '"command": "X"', text)
+
+
+def assert_parity(in_fq, workdir, extra_args, check_json=True):
+    ref_out, ref_failed, ref_json, _ = run_reference(in_fq, workdir, extra_args)
+    my_out, my_failed, my_json = run_ours(in_fq, workdir, extra_args)
+    ro = open(ref_out, "rb").read()
+    mo = open(my_out, "rb").read()
+    assert ro == mo, _first_diff(ro, mo, "out.fq")
+    rf = open(ref_failed, "rb").read()
+    mf = open(my_failed, "rb").read()
+    assert rf == mf, _first_diff(rf, mf, "failed.fq")
+    if check_json:
+        rj = strip_command(open(ref_json).read())
+        mj = strip_command(open(my_json).read())
+        assert rj == mj, _first_diff(rj.encode(), mj.encode(), "json")
+
+
+def _first_diff(a, b, label):
+    for i, (x, y) in enumerate(zip(a, b)):
+        if x != y:
+            lo = max(0, i - 80)
+            return ("%s differs at byte %d:\nref: %r\nours: %r"
+                    % (label, i, a[lo:i + 80], b[lo:i + 80]))
+    return "%s differs in length: ref %d vs ours %d\nref tail: %r\nours tail: %r" % (
+        label, len(a), len(b), a[-200:], b[-200:])
