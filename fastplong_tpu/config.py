@@ -161,7 +161,8 @@ class Options:
         check_file_valid(self.adapter.fasta_file)
         reader = FastaReader(self.adapter.fasta_file)
         reader.read_all()
-        for _name, seq in reader.contigs.items():
+        # reference iterates a std::map -> contig-name order (options.cpp:52)
+        for _name, seq in sorted(reader.contigs.items()):
             if len(seq) >= 6:
                 self.adapter.seqs_in_fasta.append(seq)
             else:

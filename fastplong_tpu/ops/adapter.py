@@ -1,0 +1,361 @@
+"""Adapter search and trimming.
+
+Vectorized equivalent of the reference AdapterTrimmer
+(src/adaptertrimmer.cpp): sliding mismatch-count scans over 200bp end
+windows with three scan policies, a 16-mer seed scan by edit distance, and
+Myers-verified decision ladders for trimBySequenceStart/End, plus the
+whole-read middle-adapter search.
+
+Reference decision-ladder quirks preserved exactly:
+  * the early-return "mismatch <= threshold" path skips the edit-distance
+    verification (adaptertrimmer.cpp:99-101,124-126);
+  * tie-breaks differ per policy (leftmost scan keeps the LAST best, the
+    rightmost scan keeps the LOWEST best, global keeps the FIRST best);
+  * the end-side partial scan stops at the first candidate whose edit
+    distance exceeds the running minimum ("last one is best" with break,
+    adaptertrimmer.cpp:273-286), while the start side keeps scanning;
+  * trimFront clamps to length-1, while resize can empty the read;
+  * the end-side partial path requires pos > 0 (adaptertrimmer.cpp:288).
+
+Spans [lo, hi) index the padded batch; all outputs are per-read scalars the
+host applies to record bytes.
+"""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .myers import build_pattern_table, myers_distance, BLOCK
+from .primitives import first_true, last_true
+
+WINDOW = 200
+PATTERN_LEN = 16
+
+
+def _cpp_round(x: float) -> int:
+    return int(math.floor(x + 0.5))
+
+
+class AdapterSpec:
+    """Host-precomputed constants for one adapter sequence."""
+
+    def __init__(self, seq: str, ed_max: float):
+        self.seq = seq
+        self.data = seq.encode("latin-1")
+        self.alen = len(seq)
+        self.plen = min(PATTERN_LEN, self.alen)
+        self.ed_max = ed_max
+        self.thr_full = _cpp_round(ed_max * self.alen)
+        self.thr_seed = _cpp_round(ed_max * self.plen)
+        self.pm_fwd = jnp.asarray(build_pattern_table(self.data))
+        self.pm_rev = jnp.asarray(build_pattern_table(self.data[::-1]))
+        # thresholds for every possible cmplen (plen..alen)
+        self.thr_by_cmplen = jnp.asarray(
+            [_cpp_round(ed_max * c) for c in range(self.alen + 1)],
+            jnp.int32) if self.alen else jnp.zeros(1, jnp.int32)
+        self.adapter_arr = jnp.asarray(
+            np.frombuffer(self.data, np.uint8)) if self.alen else \
+            jnp.zeros(0, jnp.uint8)
+
+
+def _region(bases, start_abs, R, valid_len):
+    B, L = bases.shape
+    j = jnp.arange(R, dtype=jnp.int32)[None, :]
+    src = start_abs[:, None] + j
+    ok = (j < valid_len[:, None]) & (src >= 0) & (src < L)
+    out = jnp.take_along_axis(bases, jnp.clip(src, 0, L - 1), axis=-1)
+    return jnp.where(ok, out, 0)
+
+
+def _mismatch_counts(region, adapter_arr):
+    """mm[b, p] = #(region[b, p+i] != adapter[i], i<alen) for all p with
+    p+alen <= R.  Positions near the edge include padding-zero columns
+    (callers mask by range)."""
+    B, R = region.shape
+    alen = adapter_arr.shape[0]
+    P = R - alen + 1
+    if P <= 0:
+        return jnp.zeros((B, 0), jnp.int32)
+    mm = jnp.zeros((B, P), jnp.int32)
+    for i in range(alen):
+        mm = mm + (region[:, i:i + P] != adapter_arr[i])
+    return mm
+
+
+def _verify_at(bases, abs_start, spec, cmplen=None, reverse=False):
+    """Myers distance of the window starting (or ending) at abs_start.
+
+    forward: text = bases[abs_start : abs_start+n], pattern = adapter[:n]
+    reverse: text = reversed bases[abs_start-n+1 ... abs_start],
+             pattern = reversed(adapter)[:n]  (== adapter suffix of len n)
+    n = cmplen (per-lane) or alen.
+    """
+    B, L = bases.shape
+    alen = spec.alen
+    n = cmplen if cmplen is not None else jnp.full((B,), alen, jnp.int32)
+    T = max(alen, 1)
+    j = jnp.arange(T, dtype=jnp.int32)[None, :]
+    if reverse:
+        src = abs_start[:, None] - j
+    else:
+        src = abs_start[:, None] + j
+    ok = (j < n[:, None]) & (src >= 0) & (src < L)
+    text = jnp.where(ok, jnp.take_along_axis(
+        bases, jnp.clip(src, 0, L - 1), axis=-1), 0)
+    pm = spec.pm_rev if reverse else spec.pm_fwd
+    return myers_distance(pm, n, text, n)
+
+
+def _seed_scan(bases, base_abs, ncand, spec, start_side):
+    """ed16[b, p] for p in [0, P): edit distance of the p-th seed window.
+
+    start side: text = read[p : p+plen] reversed, pattern = rev(adapter)[:plen]
+    end side:   text = read[rlen-plen-p : rlen-p], pattern = adapter[:plen]
+    base_abs: absolute index of the p=0 window's anchor
+      (start side: lo;  end side: lo + rlen - plen)
+    """
+    B, L = bases.shape
+    plen = spec.plen
+    P = WINDOW - PATTERN_LEN  # static number of candidate positions
+    p = jnp.arange(P, dtype=jnp.int32)[None, :]
+    j = jnp.arange(plen, dtype=jnp.int32)[None, None, :]
+    if start_side:
+        # reversed window: chars (base+p+plen-1) down to (base+p)
+        src = (base_abs[:, None] + p + plen - 1)[:, :, None] - j
+        pm = spec.pm_rev
+    else:
+        # ascending window starting at base - p
+        src = (base_abs[:, None] - p)[:, :, None] + j
+        pm = spec.pm_fwd
+    ok = (src >= 0) & (src < L)
+    text = jnp.where(ok, jnp.take_along_axis(
+        jnp.broadcast_to(bases[:, None, :], (B, P, L)),
+        jnp.clip(src, 0, L - 1), axis=-1), 0)
+    plens = jnp.full((B, P), plen, jnp.int32)
+    valid = p < ncand[:, None]
+    tlens = jnp.where(valid, plen, 0)
+    ed = myers_distance(pm, plens, text, tlens)
+    return jnp.where(valid, ed, 10 ** 6)
+
+
+def search_full(mm, rlen, alen, thr, lo_rel, hi_rel_excl, policy):
+    """Shared full-match searchAdapter policies over a mismatch array.
+
+    mm[b, p] is relative to some anchor; candidate range is
+    [lo_rel, hi_rel_excl) (per-lane).  policy: 'left' | 'right' | 'global'.
+    Returns (pos, needs_verify) where pos is the relative position or -1;
+    needs_verify=True lanes must pass the Myers check (early-exit lanes
+    skip it, matching adaptertrimmer.cpp:99-101).
+    """
+    B, P = mm.shape
+    p = jnp.arange(P, dtype=jnp.int32)[None, :]
+    in_range = (p >= lo_rel[:, None]) & (p < hi_rel_excl[:, None])
+    mm_m = jnp.where(in_range, mm, 10 ** 6)
+    has_any = jnp.any(in_range, axis=-1)
+
+    early_mask = in_range & (mm <= thr)
+    if policy == "right":
+        early = last_true(early_mask, -1)
+    else:  # 'left' scans ascending
+        early = first_true(early_mask, -1)
+
+    if policy == "left":
+        # ties keep the LAST best: last index achieving the min
+        mn = jnp.min(mm_m, axis=-1)
+        best = last_true(mm_m == mn[:, None], -1)
+    else:
+        # 'right' and 'global': first index achieving the min
+        best = jnp.argmin(mm_m, axis=-1).astype(jnp.int32)
+    best = jnp.where(has_any, best, -1)
+
+    if policy == "global":
+        pos = best
+        needs_verify = pos >= 0
+    else:
+        pos = jnp.where(early >= 0, early, best)
+        needs_verify = (early < 0) & (best >= 0)
+    return pos, needs_verify
+
+
+def trim_by_sequence_start(bases, lo, hi, spec, ext):
+    """Returns (new_lo, trimmed_ret, rec_cmplen) per read.
+
+    trimmed_ret: value added to FilterResult (0 = no trim).
+    rec_cmplen:  0 = none, alen = full adapter, else the partial cmplen
+                 (record adapter[alen-cmplen:]).
+    """
+    B, L = bases.shape
+    alen, plen = spec.alen, spec.plen
+    rlen = hi - lo
+    eligible = rlen >= PATTERN_LEN
+    if alen == 0:
+        z = jnp.zeros((B,), jnp.int32)
+        return lo, z, z
+
+    R = WINDOW + alen
+    region = _region(bases, lo, R, rlen)
+    mm = _mismatch_counts(region, spec.adapter_arr)  # [B, WINDOW+1]
+
+    search_end = jnp.minimum(rlen, WINDOW)
+    # searchAdapter(.., 0, WINDOW, false, true): rightmost policy needs
+    # searchEnd > alen; also searchStart + alen > rlen -> -1
+    valid_search = (alen <= rlen) & (search_end > alen)
+    pos_f, needs_v = search_full(
+        mm, rlen, alen, spec.thr_full,
+        jnp.zeros((B,), jnp.int32), search_end - alen + 1, "right")
+    pos_f = jnp.where(valid_search, pos_f, -1)
+    ed_f = _verify_at(bases, lo + jnp.maximum(pos_f, 0), spec)
+    ok_f = (pos_f >= 0) & jnp.where(needs_v, ed_f <= spec.thr_full, True)
+
+    # ---- partial 16-mer path
+    ncand = jnp.clip(jnp.minimum(rlen - plen, WINDOW - plen), 0, None)
+    ed16 = _seed_scan(bases, lo, ncand, spec, start_side=True)
+    cand = ed16 <= spec.thr_seed
+    e_m = jnp.where(cand, ed16, 10 ** 6)
+    pos_p = jnp.where(jnp.any(cand, axis=-1),
+                      jnp.argmin(e_m, axis=-1).astype(jnp.int32), -1)
+    cmplen = jnp.minimum(pos_p + plen, alen)
+    # verify: ed(read[pos+plen-cmplen : pos+plen], adapter[alen-cmplen:])
+    ed_p = _verify_at(bases, lo + jnp.maximum(pos_p, 0) + plen - 1, spec,
+                      cmplen=cmplen, reverse=True)
+    thr_c = spec.thr_by_cmplen[jnp.clip(cmplen, 0, alen)]
+    ok_p = (pos_p >= 0) & (ed_p <= thr_c)
+
+    # ---- combine (full match wins; partial only tried if no full match)
+    mpos = jnp.minimum(pos_f + ext, rlen - alen)
+    n_full = mpos + alen
+    ppos = jnp.minimum(pos_p + ext, rlen - alen)
+    n_part = ppos + plen
+
+    use_full = eligible & ok_f
+    use_part = eligible & ~ok_f & ok_p
+    n = jnp.where(use_full, n_full, jnp.where(use_part, n_part, 0))
+    trimmed = use_full | use_part
+    # trimFront semantics (read.cpp:69-73): min(len-1, n); negative empties
+    applied = jnp.where(n < 0, rlen, jnp.minimum(n, rlen - 1))
+    new_lo = jnp.where(trimmed, lo + applied, lo)
+    trimmed_ret = jnp.where(trimmed, n, 0)
+    rec = jnp.where(use_full, alen, jnp.where(use_part, cmplen, 0))
+    return new_lo, trimmed_ret, rec
+
+
+def trim_by_sequence_end(bases, lo, hi, spec, ext):
+    """Returns (new_hi, trimmed_ret, rec_cmplen); rec as in start side but
+    recording adapter[:cmplen]."""
+    B, L = bases.shape
+    alen, plen = spec.alen, spec.plen
+    rlen = hi - lo
+    eligible = rlen >= PATTERN_LEN
+    if alen == 0:
+        z = jnp.zeros((B,), jnp.int32)
+        return hi, z, z
+
+    # ---- full match: leftmost in [searchStart, rlen-alen) over the last
+    # WINDOW bases; mismatch region anchored at lo+searchStart
+    search_start = jnp.maximum(rlen - WINDOW, 0)
+    R = WINDOW + alen
+    region = _region(bases, lo + search_start, R, rlen - search_start)
+    mm = _mismatch_counts(region, spec.adapter_arr)
+    valid_search = (search_start + alen) <= rlen
+    # range relative to search_start: p in [0, (rlen - alen) - search_start)
+    pos_f, needs_v = search_full(
+        mm, rlen, alen, spec.thr_full,
+        jnp.zeros((B,), jnp.int32), rlen - alen - search_start, "left")
+    pos_f = jnp.where(valid_search, pos_f, -1)
+    abs_f = search_start + pos_f  # position within the span
+    ed_f = _verify_at(bases, lo + jnp.maximum(abs_f, 0), spec)
+    ok_f = (pos_f >= 0) & jnp.where(needs_v, ed_f <= spec.thr_full, True)
+
+    # ---- partial: sequential-break scan (adaptertrimmer.cpp:269-286)
+    ncand = jnp.clip(jnp.minimum(rlen - plen, WINDOW - plen), 0, None)
+    ed16 = _seed_scan(bases, lo + rlen - plen, ncand, spec, start_side=False)
+    cand = ed16 <= spec.thr_seed
+    e_m = jnp.where(cand, ed16, 10 ** 6)
+    firstc = first_true(cand, 10 ** 6)
+    P = e_m.shape[1]
+    pidx = jnp.arange(P, dtype=jnp.int32)[None, :]
+    # exclusive running min over candidates before p
+    prevmin = jnp.concatenate(
+        [jnp.full((B, 1), 10 ** 6, jnp.int32),
+         jax.lax.cummin(e_m, axis=1)[:, :-1]], axis=1)
+    breaking = cand & (pidx > firstc[:, None]) & (e_m > prevmin)
+    pb = first_true(breaking, P)
+    pos_p = last_true(cand & (pidx < pb[:, None]),
+                      jnp.full((B,), -1, jnp.int32))
+    # reference requires pos > 0 strictly for the partial path
+    has_p = pos_p > 0
+    cmplen = jnp.minimum(pos_p + plen, alen)
+    ed_p = _verify_at(bases, lo + rlen - plen - jnp.maximum(pos_p, 0), spec,
+                      cmplen=cmplen, reverse=False)
+    thr_c = spec.thr_by_cmplen[jnp.clip(cmplen, 0, alen)]
+    ok_p = has_p & (ed_p <= thr_c)
+
+    # ---- combine
+    mpos = jnp.maximum(abs_f - ext, 0)
+    use_full = eligible & ok_f
+    use_part = eligible & ~ok_f & ok_p
+    ppos = jnp.minimum(pos_p + ext, rlen - plen)
+    new_len_full = mpos          # resize(mpos)
+    new_len_part = rlen - plen - ppos
+    new_len = jnp.where(use_full, new_len_full,
+                        jnp.where(use_part, new_len_part, rlen))
+    # resize is a no-op if new_len > rlen or < 0 (read.cpp:62-67)
+    new_len = jnp.where((new_len >= 0) & (new_len <= rlen), new_len, rlen)
+    new_hi = lo + new_len
+    trimmed_ret = jnp.where(use_full, rlen - mpos,
+                            jnp.where(use_part, ppos + plen, 0))
+    rec = jnp.where(use_full, alen, jnp.where(use_part, cmplen, 0))
+    return new_hi, trimmed_ret, rec
+
+
+def search_global(bases, lo, hi, spec):
+    """searchAdapter with default policy over the whole span (used by
+    findMiddleAdapters).  Returns position within span or -1."""
+    B, L = bases.shape
+    alen = spec.alen
+    rlen = hi - lo
+    if alen == 0:
+        # degenerate: empty adapter "matches" at 0 whenever the global loop
+        # runs at least once (rlen > 0)
+        return jnp.where(rlen > 0, 0, -1).astype(jnp.int32)
+    region = _region(bases, lo, L, rlen)
+    mm = _mismatch_counts(region, spec.adapter_arr)
+    valid = alen <= rlen
+    pos, needs_v = search_full(
+        mm, rlen, alen, spec.thr_full,
+        jnp.zeros((B,), jnp.int32), rlen - alen, "global")
+    pos = jnp.where(valid, pos, -1)
+    ed = _verify_at(bases, lo + jnp.maximum(pos, 0), spec)
+    ok = (pos >= 0) & (ed <= spec.thr_full)
+    return jnp.where(ok, pos, -1)
+
+
+def find_middle_adapters(bases, lo, hi, start_spec, end_spec, ext):
+    """Reference findMiddleAdapters (adaptertrimmer.cpp:13-40).
+
+    Returns (found, start, length) relative to the span."""
+    rlen = hi - lo
+    sp = search_global(bases, lo, hi, start_spec)
+    ep = search_global(bases, lo, hi, end_spec)
+    slen = start_spec.alen
+    elen = end_spec.alen
+
+    both = (sp >= 0) & (ep >= 0)
+    s_only = (sp >= 0) & (ep < 0)
+    e_only = (ep >= 0) & (sp < 0)
+
+    b_start = jnp.maximum(jnp.minimum(sp, ep) - ext, 0)
+    b_end = jnp.minimum(jnp.maximum(sp + slen, ep + elen) + ext, rlen)
+
+    s_start = jnp.maximum(sp - ext, 0)
+    s_end = jnp.minimum(sp + slen + ext, rlen)
+
+    e_start = jnp.maximum(ep - ext, 0)
+    e_end = jnp.minimum(ep + elen + ext, rlen)
+
+    start = jnp.where(both, b_start, jnp.where(s_only, s_start, e_start))
+    end = jnp.where(both, b_end, jnp.where(s_only, s_end, e_end))
+    found = both | s_only | e_only
+    return found, jnp.where(found, start, -1), jnp.where(found, end - start, 0)

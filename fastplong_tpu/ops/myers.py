@@ -1,0 +1,145 @@
+"""Batched Myers bit-parallel Levenshtein distance.
+
+Device equivalent of the reference's hot kernel (src/editdistance.cpp:31-126,
+Hyyro/Myers VP/VN/HP/HN recurrence).  The pattern (an adapter, or an
+adapter prefix when verifying partial matches) is encoded once as per-byte
+bitmask blocks; the text (read windows) is scanned in a lax.scan, with every
+batch lane carrying its own pattern length / text length.
+
+Key properties exploited:
+  * edit distance is symmetric, and invariant under reversing BOTH strings —
+    so suffix-pattern comparisons are done against the reversed adapter's
+    prefix, keeping the precomputed bitmasks fixed.
+  * with a fixed full-pattern bitmask, per-lane shorter pattern lengths are
+    handled by initializing VP to the low `plen` bits and reading the score
+    bit at position plen-1: higher bitmask bits only ever carry upward and
+    cannot affect the tracked score.
+
+Blocks are uint32 (TPU-native); K = ceil(max_pattern_len/32) blocks are
+unrolled statically.  Patterns longer than MAX_DEVICE_PATTERN fall back to
+the host DP (ops.myers.edit_distance_host).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+BLOCK = 32
+MAX_DEVICE_PATTERN = 128  # 4 blocks; longer adapters use the host fallback
+
+
+def build_pattern_table(pattern: bytes):
+    """[256, K] uint32 bitmask table: bit i of block r set iff
+    pattern[r*32+i] == byte."""
+    plen = len(pattern)
+    K = max(1, (plen + BLOCK - 1) // BLOCK)
+    tbl = np.zeros((256, K), np.uint32)
+    for i, ch in enumerate(pattern):
+        tbl[ch, i // BLOCK] |= np.uint32(1) << np.uint32(i % BLOCK)
+    return tbl
+
+
+def myers_distance(pm_tbl, plen, text, tlen):
+    """Batched edit distance of text[..., :tlen] vs pattern[:plen].
+
+    pm_tbl: [256, K] uint32 (device array)
+    plen:   [...] int32 per-lane pattern length (1..K*32)
+    text:   [..., T] uint8 text bytes
+    tlen:   [...] int32 per-lane text length (0..T)
+
+    Returns [...] int32 distances.  Lanes with plen <= 0 return tlen
+    (edit distance to the empty pattern).
+    """
+    K = pm_tbl.shape[1]
+    T = text.shape[-1]
+    shape = text.shape[:-1]
+    plen = jnp.maximum(plen.astype(jnp.int32), 0)
+    tlen = tlen.astype(jnp.int32)
+
+    # per-lane VP init: low plen bits set across blocks
+    def init_vp(r):
+        bits = jnp.clip(plen - r * BLOCK, 0, BLOCK)
+        full = jnp.uint32(0xFFFFFFFF)
+        safe = jnp.clip(bits, 0, BLOCK - 1).astype(jnp.uint32)
+        partial = (jnp.uint32(1) << safe) - jnp.uint32(1)
+        return jnp.where(bits >= BLOCK, full, partial)
+
+    VP0 = [init_vp(r) for r in range(K)]
+    VN0 = [jnp.zeros(shape, jnp.uint32) for _ in range(K)]
+
+    top_block = jnp.clip((plen - 1) // BLOCK, 0, K - 1)
+    top_bit = jnp.where(plen > 0, (plen - 1) % BLOCK, 0).astype(jnp.uint32)
+    lmb = jnp.uint32(1) << jnp.uint32(BLOCK - 1)
+    one = jnp.uint32(1)
+    zero32 = jnp.uint32(0)
+
+    D0_init = jnp.where(plen > 0, plen, 0).astype(jnp.int32)
+
+    def step(carry, xs):
+        col, j = xs
+        D, VP, VN = carry
+        active = j < tlen
+        pm = pm_tbl[col.astype(jnp.int32)]  # [..., K]
+        newVP = []
+        newVN = []
+        HPs = []
+        HNs = []
+        hn_carry = jnp.zeros(shape, bool)
+        hp_carry = jnp.ones(shape, bool)  # r==0 gets the +1 bit
+        for r in range(K):
+            X = pm[..., r]
+            X = jnp.where(hn_carry, X | one, X)
+            vp = VP[r]
+            vn = VN[r]
+            D0 = (((X & vp) + vp) ^ vp) | X | vn
+            HP = vn | ~(D0 | vp)
+            HN = D0 & vp
+            X2 = HP << one
+            X2 = jnp.where(hp_carry, X2 | one, X2)
+            vp_new = (HN << one) | ~(D0 | X2)
+            vp_new = jnp.where(hn_carry, vp_new | one, vp_new)
+            vn_new = D0 & X2
+            newVP.append(jnp.where(active, vp_new, vp))
+            newVN.append(jnp.where(active, vn_new, vn))
+            HPs.append(HP)
+            HNs.append(HN)
+            hn_carry = (HN & lmb) != zero32
+            hp_carry = (HP & lmb) != zero32
+        HPst = jnp.stack(HPs, axis=-1)
+        HNst = jnp.stack(HNs, axis=-1)
+        hp_top = jnp.take_along_axis(HPst, top_block[..., None], axis=-1)[..., 0]
+        hn_top = jnp.take_along_axis(HNst, top_block[..., None], axis=-1)[..., 0]
+        inc = jnp.where(((hp_top >> top_bit) & one) != zero32, 1,
+                        jnp.where(((hn_top >> top_bit) & one) != zero32, -1, 0))
+        D = jnp.where(active & (plen > 0), D + inc, D)
+        return (D, newVP, newVN), None
+
+    text_t = jnp.moveaxis(text, -1, 0)  # [T, ...]
+    (D, _, _), _ = jax.lax.scan(
+        step, (D0_init, VP0, VN0),
+        (text_t, jnp.arange(T, dtype=jnp.int32)))
+    # empty pattern: distance = tlen
+    D = jnp.where(plen > 0, D, tlen)
+    return D
+
+
+def edit_distance_host(a: bytes, b: bytes) -> int:
+    """Host fallback DP for very long patterns (reference
+    editdistance.cpp:66-76 path for >640bp)."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    prev = np.arange(lb + 1, dtype=np.int32)
+    bb = np.frombuffer(b, np.uint8).astype(np.int32)
+    for i in range(1, la + 1):
+        cur = np.empty(lb + 1, np.int32)
+        cur[0] = i
+        sub = prev[:-1] + (bb != a[i - 1])
+        cur[1:] = np.minimum(prev[1:] + 1, sub)
+        for j in range(1, lb + 1):  # resolve left-dependency
+            if cur[j - 1] + 1 < cur[j]:
+                cur[j] = cur[j - 1] + 1
+        prev = cur
+    return int(prev[lb])
