@@ -22,9 +22,12 @@ from ..stats import Stats
 from ..filter_result import FilterResult
 from ..util import loginfo
 from .batches import make_batches
-from .device import build_step
+from .device import build_step, OUT_CAP, TAG_NONE, TAG_SPLIT_LEFT, \
+    TAG_SPLIT_RIGHT
 
 _NL = b"\n"
+_TAG_BYTES = {TAG_SPLIT_LEFT: b"split-by-adapter-left-",
+              TAG_SPLIT_RIGHT: b"split-by-adapter-right-"}
 
 
 class BlockResults:
@@ -34,17 +37,20 @@ class BlockResults:
         self.lo = np.zeros(n, np.int32)
         self.hi = np.zeros(n, np.int32)
         self.null = np.zeros(n, bool)
-        self.code = np.zeros(n, np.int32)
-        self.passed = np.zeros(n, bool)
+        self.n_out = np.zeros(n, np.int32)
+        self.out_lo = np.zeros((n, OUT_CAP), np.int32)
+        self.out_hi = np.zeros((n, OUT_CAP), np.int32)
+        self.out_tag = np.zeros((n, OUT_CAP), np.int32)
+        self.active = np.zeros((n, OUT_CAP), bool)
+        self.code = np.zeros((n, OUT_CAP), np.int32)
+        self.passed = np.zeros((n, OUT_CAP), bool)
 
     def scatter(self, indices, out):
         m = indices >= 0
         idx = indices[m]
-        self.lo[idx] = out["lo"][m]
-        self.hi[idx] = out["hi"][m]
-        self.null[idx] = out["null"][m]
-        self.code[idx] = out["code"][m]
-        self.passed[idx] = out["passed"][m]
+        for name in ("lo", "hi", "null", "n_out", "out_lo", "out_hi",
+                     "out_tag", "active", "code", "passed"):
+            getattr(self, name)[idx] = out[name][m]
 
 
 class SingleEndRunner:
@@ -53,7 +59,7 @@ class SingleEndRunner:
         self.pre_stats = Stats(is_rna=opt.is_rna)
         self.post_stats = Stats(is_rna=opt.is_rna)
         self.filter_result = FilterResult()
-        self.step = build_step(opt)
+        self.step, self.stages = build_step(opt)
         self.out_writer = None
         self.failed_writer = None
 
@@ -121,11 +127,13 @@ class SingleEndRunner:
 
     def _accumulate(self, out):
         self.pre_stats.add_batch(out["pre"])
-        self.post_stats.add_batch(out["post"])
-        live = ~out["null"]
-        codes = out["code"][live]
+        for post in out["posts"]:
+            self.post_stats.add_batch(post)
+        active = out["active"]
+        codes = out["code"][active]
         if len(codes):
             self.filter_result.add_filter_results(codes)
+        live = ~out["null"]
         poly = out["poly"]
         pm = live & (poly >= 0)
         if pm.any():
@@ -134,6 +142,26 @@ class SingleEndRunner:
                 if sel.any():
                     self.filter_result.add_polyx_trimmed(
                         b, int(out["poly_trim"][sel].sum()), int(sel.sum()))
+        # adapter bookkeeping (addReadTrimmed + per-sequence counts)
+        at = out["adapter_trimmed"]
+        tm = live & (at > 0)
+        if tm.any():
+            self.filter_result.trimmed_adapter_reads += int(tm.sum())
+            self.filter_result.trimmed_adapter_bases += int(at[tm].sum())
+        recs = out["adapter_recs"]
+        if recs.size:
+            for si, (seq, side) in enumerate(self.stages):
+                col = recs[:, si]
+                sel = live & (col > 0)
+                if not sel.any():
+                    continue
+                vals, counts = np.unique(col[sel], return_counts=True)
+                for cmplen, cnt in zip(vals.tolist(), counts.tolist()):
+                    if side == "start":
+                        rec_seq = seq[len(seq) - cmplen:]
+                    else:
+                        rec_seq = seq[:cmplen]
+                    self.filter_result.add_adapter_trimmed(rec_seq, cnt)
 
     def _emit(self, block, res):
         out_pieces = []
@@ -148,32 +176,43 @@ class SingleEndRunner:
         for i in range(block.n):
             if res.null[i]:
                 continue  # trimAndCut returned NULL: the read vanishes
-            if res.passed[i]:
-                if not write_out:
+            n_out = res.n_out[i]
+            for c in range(OUT_CAP):
+                if not res.active[i, c]:
                     continue
-                lo = res.lo[i]
-                hi = res.hi[i]
-                so = seq_off[i]
-                qo = qual_off[i]
-                out_pieces += (
-                    buf[name_off[i]:name_off[i] + name_len[i]], _NL,
-                    buf[so + lo:so + hi], _NL,
-                    buf[strand_off[i]:strand_off[i] + strand_len[i]], _NL,
-                    buf[qo + lo:qo + hi], _NL)
-            elif write_failed:
-                # The reference trims or1 IN PLACE (trimAndCut/polyX mutate
-                # the same Read object), so failed_out records carry the
-                # trimmed read + failure tag (seprocessor.cpp:278-279).
-                lo = res.lo[i]
-                hi = res.hi[i]
-                so = seq_off[i]
-                qo = qual_off[i]
-                failed_pieces += (
-                    buf[name_off[i]:name_off[i] + name_len[i]],
-                    b" ", FAILED_TYPES[res.code[i]].encode(), _NL,
-                    buf[so + lo:so + hi], _NL,
-                    buf[strand_off[i]:strand_off[i] + strand_len[i]], _NL,
-                    buf[qo + lo:qo + hi], _NL)
+                if res.passed[i, c]:
+                    if not write_out:
+                        continue
+                    lo = res.out_lo[i, c]
+                    hi = res.out_hi[i, c]
+                    so = seq_off[i]
+                    qo = qual_off[i]
+                    tag = res.out_tag[i, c]
+                    if tag == TAG_NONE:
+                        name = (buf[name_off[i]:name_off[i] + name_len[i]],)
+                    else:
+                        # name.insert(1, tag): '@' + tag + rest (read.cpp:200,209)
+                        no = name_off[i]
+                        name = (buf[no:no + 1], _TAG_BYTES[tag],
+                                buf[no + 1:no + name_len[i]])
+                    out_pieces += name + (
+                        _NL,
+                        buf[so + lo:so + hi], _NL,
+                        buf[strand_off[i]:strand_off[i] + strand_len[i]], _NL,
+                        buf[qo + lo:qo + hi], _NL)
+                elif write_failed and n_out == 1:
+                    # failed reads are written as the (in-place trimmed)
+                    # PARENT read + tag (seprocessor.cpp:278-279 writes or1)
+                    lo = res.lo[i]
+                    hi = res.hi[i]
+                    so = seq_off[i]
+                    qo = qual_off[i]
+                    failed_pieces += (
+                        buf[name_off[i]:name_off[i] + name_len[i]],
+                        b" ", FAILED_TYPES[res.code[i, c]].encode(), _NL,
+                        buf[so + lo:so + hi], _NL,
+                        buf[strand_off[i]:strand_off[i] + strand_len[i]], _NL,
+                        buf[qo + lo:qo + hi], _NL)
         if out_pieces and write_out:
             self.out_writer.write(b"".join(out_pieces))
         if failed_pieces:
