@@ -1,11 +1,17 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
-Must be set before jax is imported anywhere in the test process.
+Must run before jax is used anywhere in the test process.  Note the axon
+TPU plugin ignores the JAX_PLATFORMS env var, so we also force the platform
+through jax.config.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
 # persistent compile cache makes repeated test runs fast
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_fastplong")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
@@ -13,7 +19,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 # small device batches => small shapes => fast XLA compiles in tests
 os.environ.setdefault("FASTPLONG_TOKENS_PER_BATCH", str(1 << 15))
 os.environ.setdefault("FASTPLONG_MAX_BATCH_READS", "64")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
