@@ -5,16 +5,21 @@ chain over a padded [B, L] batch — the TPU-native replacement for the
 reference's per-read worker loop (src/seprocessor.cpp:180-329):
 
   pre-stats -> trimAndCut -> polyX -> adapter trims (start/end/FASTA) ->
-  middle-adapter split -> filters -> post-stats
+  middle-adapter split -> break by low-quality regions -> N-mask ->
+  filters -> post-stats
 
 Adapter sequences are static (fixed at startup, exactly like the reference),
 so their bitmask tables and thresholds are baked into the compiled graph.
 Returns per-read span/verdict vectors (applied host-side to the original
 bytes) plus per-batch statistic partials.
 
-Out-reads: middle-adapter splitting can produce up to 2 children per read
-(breakByGap, read.cpp:192-215); the step emits OUT_CAP=2 span slots with
-name-tag codes (0 plain, 1 split-left, 2 split-right).
+Out-reads: middle-adapter splitting can produce 2 children per read
+(breakByGap, read.cpp:192-215), and region-breaking can split each of
+those into a head and tail fragment (breakByRegions, read.cpp:227-262 —
+see ops/regions.py for why at most 2 fragments are possible).  The step
+emits up to 4 span slots, each with a split-tag code (0 plain / 1
+split-left / 2 split-right), a region number for the "rN-" name prefix
+(0 = none), and an N-mask span.
 """
 
 import jax
@@ -25,13 +30,16 @@ from ..ops.qualcut import trim_and_cut
 from ..ops.polyx import trim_polyx
 from ..ops.filters import pass_filter
 from ..ops.stats_kernels import stat_batch
+from ..ops.primitives import qual_cumsum
+from ..ops.regions import detect_regions_summary
 from ..ops.adapter import (AdapterSpec, trim_by_sequence_start,
                            trim_by_sequence_end, find_middle_adapters)
 
-OUT_CAP = 2
 TAG_NONE = 0
 TAG_SPLIT_LEFT = 1
 TAG_SPLIT_RIGHT = 2
+
+N_CHAR = ord("N")
 
 
 def kernel_params(opt):
@@ -56,6 +64,12 @@ def kernel_params(opt):
         fasta_seqs=tuple(ad.seqs_in_fasta),
         ed_max=ad.ed_max,
         ext=ad.trimming_extension,
+        break_enabled=opt.break_opt.enabled,
+        break_window=opt.break_opt.window_size,
+        break_quality=opt.break_opt.quality,
+        mask_enabled=opt.mask.enabled,
+        mask_window=opt.mask.window_size,
+        mask_quality=opt.mask.quality,
         filt=dict(
             qual_enabled=qf.enabled,
             qualified_qual=qf.qualified_qual,
@@ -86,8 +100,30 @@ def adapter_stages(p):
     return stages
 
 
+def out_cap(opt):
+    p = kernel_params(opt)
+    cap = 2 if p["adapter_enabled"] else 1
+    if p["break_enabled"]:
+        cap *= 2
+    return cap
+
+
+class _Slot:
+    """One out-read candidate during trace time."""
+
+    __slots__ = ("lo", "hi", "active", "tag", "region_no", "is_parent")
+
+    def __init__(self, lo, hi, active, tag, region_no, is_parent):
+        self.lo = lo
+        self.hi = hi
+        self.active = active
+        self.tag = tag
+        self.region_no = region_no
+        self.is_parent = is_parent
+
+
 def build_step(opt):
-    """Returns a jitted fn(bases, quals, lens, read_mask) -> outputs dict."""
+    """Returns (jitted step fn, adapter stage list)."""
     p = kernel_params(opt)
     stages = adapter_stages(p)
     specs = [AdapterSpec(seq, p["ed_max"]) for seq, _ in stages]
@@ -133,21 +169,19 @@ def build_step(opt):
             trimmed_total = trimmed_total + t
             recs.append(rec)
 
+        zero = jnp.zeros((B,), jnp.int32)
+        false = jnp.zeros((B,), bool)
+        true = jnp.ones((B,), bool)
+
         # ---- middle adapter split (breakByGap)
-        out_lo = jnp.zeros((B, OUT_CAP), jnp.int32)
-        out_hi = jnp.zeros((B, OUT_CAP), jnp.int32)
-        out_tag = jnp.zeros((B, OUT_CAP), jnp.int32)
-        active = jnp.zeros((B, OUT_CAP), bool)
         if middle_specs is not None:
             found, mstart, mlen = find_middle_adapters(
                 bases, lo, hi, middle_specs[0], middle_specs[1], p["ext"])
             found = found & ~null
-            len1 = mstart                      # left child length
-            len2 = (hi - lo) - mstart - mlen   # right child length
+            len1 = mstart
+            len2 = (hi - lo) - mstart - mlen
             has_left = found & (len1 > 0)
             has_right = found & (len2 > 0)
-            # slot 0: parent (not found) or left (found & left) or right
-            s0_active = ~null & (~found | has_left | has_right)
             s0_is_parent = ~found
             s0_is_left = found & has_left
             s0_lo = jnp.where(s0_is_parent, lo,
@@ -157,40 +191,103 @@ def build_step(opt):
             s0_tag = jnp.where(s0_is_parent, TAG_NONE,
                                jnp.where(s0_is_left, TAG_SPLIT_LEFT,
                                          TAG_SPLIT_RIGHT))
-            # slot 1: right child when both exist
-            s1_active = has_left & has_right
-            s1_lo = lo + mstart + mlen
-            s1_hi = hi
-            out_lo = out_lo.at[:, 0].set(s0_lo).at[:, 1].set(s1_lo)
-            out_hi = out_hi.at[:, 0].set(s0_hi).at[:, 1].set(s1_hi)
-            out_tag = out_tag.at[:, 0].set(s0_tag).at[:, 1].set(TAG_SPLIT_RIGHT)
-            active = active.at[:, 0].set(s0_active).at[:, 1].set(s1_active)
+            slots = [
+                _Slot(s0_lo, s0_hi,
+                      ~null & (~found | has_left | has_right),
+                      s0_tag, zero, s0_is_parent),
+                _Slot(lo + mstart + mlen, hi, has_left & has_right,
+                      jnp.full((B,), TAG_SPLIT_RIGHT, jnp.int32), zero,
+                      false),
+            ]
         else:
-            out_lo = out_lo.at[:, 0].set(lo)
-            out_hi = out_hi.at[:, 0].set(hi)
-            active = active.at[:, 0].set(~null)
+            slots = [_Slot(lo, hi, ~null, zero, zero, true)]
+
+        cq = None
+        if p["break_enabled"] or p["mask_enabled"]:
+            cq = qual_cumsum(quals, lens)
+
+        # ---- break by low-quality regions (per slot -> head/tail fragments)
+        if p["break_enabled"]:
+            Tb = (33 + p["break_quality"]) * p["break_window"]
+            new_slots = []
+            for s in slots:
+                ws1, last_end, count = detect_regions_summary(
+                    cq, s.lo, jnp.where(s.active, s.hi, s.lo),
+                    p["break_window"], Tb)
+                has = s.active & (count > 0)
+                rlen = s.hi - s.lo
+                head_ex = has & (ws1 > 0)
+                tail_ex = has & (last_end < rlen - 1)
+                # slot A: original (no regions) / head / tail
+                a_lo = jnp.where(head_ex, s.lo,
+                                 jnp.where(tail_ex, s.lo + last_end + 1, s.lo))
+                a_hi = jnp.where(head_ex, s.lo + ws1,
+                                 jnp.where(tail_ex, s.hi, s.hi))
+                a_active = s.active & (~has | head_ex | tail_ex)
+                a_region = jnp.where(head_ex, 1,
+                                     jnp.where(tail_ex, count + 1, 0))
+                a_is_parent = s.is_parent & ~has
+                new_slots.append(_Slot(
+                    jnp.where(has, a_lo, s.lo), jnp.where(has, a_hi, s.hi),
+                    a_active, s.tag, jnp.where(has, a_region, 0),
+                    a_is_parent))
+                # slot B: tail fragment when both head and tail exist
+                b_active = head_ex & tail_ex
+                new_slots.append(_Slot(
+                    s.lo + last_end + 1, s.hi, b_active, s.tag, count + 1,
+                    false))
+            slots = new_slots
+
+        # ---- N-mask low-quality regions (per final slot)
+        bases_eff = bases
+        mask_lo = [zero for _ in slots]
+        mask_hi = [zero for _ in slots]
+        if p["mask_enabled"]:
+            Tm = (33 + p["mask_quality"]) * p["mask_window"]
+            idx = jnp.arange(bases.shape[1], dtype=jnp.int32)[None, :]
+            masked = jnp.zeros(bases.shape, bool)
+            for ci, s in enumerate(slots):
+                ws1, last_end, count = detect_regions_summary(
+                    cq, s.lo, jnp.where(s.active, s.hi, s.lo),
+                    p["mask_window"], Tm)
+                has = s.active & (count > 0)
+                m_lo = jnp.where(has, s.lo + ws1, 0)
+                m_hi = jnp.where(has, s.lo + last_end + 1, 0)
+                mask_lo[ci] = m_lo
+                mask_hi[ci] = m_hi
+                masked = masked | ((idx >= m_lo[:, None])
+                                   & (idx < m_hi[:, None]) & has[:, None])
+            bases_eff = jnp.where(masked, jnp.uint8(N_CHAR), bases)
 
         # ---- filters + post-stats per out-read slot
         codes = []
         passed = []
         posts = []
-        for c in range(OUT_CAP):
-            code_c = pass_filter(bases, quals, out_lo[:, c], out_hi[:, c],
-                                 lens, **p["filt"])
-            pass_c = (code_c == PASS_FILTER) & active[:, c]
+        for s in slots:
+            code_c = pass_filter(bases_eff, quals, s.lo, s.hi, lens,
+                                 **p["filt"])
+            pass_c = (code_c == PASS_FILTER) & s.active
             codes.append(code_c)
             passed.append(pass_c)
-            posts.append(stat_batch(bases, quals, out_lo[:, c], out_hi[:, c],
-                                    pass_c))
-        code = jnp.stack(codes, axis=1)
-        passed = jnp.stack(passed, axis=1)
+            posts.append(stat_batch(bases_eff, quals, s.lo, s.hi, pass_c))
 
+        active = jnp.stack([s.active for s in slots], axis=1)
         n_out = jnp.sum(active.astype(jnp.int32), axis=1)
         return {
             "lo": lo, "hi": hi, "null": null,
-            "out_lo": out_lo, "out_hi": out_hi, "out_tag": out_tag,
+            "out_lo": jnp.stack([s.lo for s in slots], axis=1),
+            "out_hi": jnp.stack([s.hi for s in slots], axis=1),
+            "out_tag": jnp.stack([jnp.broadcast_to(s.tag, (B,))
+                                  for s in slots], axis=1),
+            "region_no": jnp.stack([jnp.broadcast_to(s.region_no, (B,))
+                                    for s in slots], axis=1),
+            "is_parent": jnp.stack([jnp.broadcast_to(s.is_parent, (B,))
+                                    for s in slots], axis=1),
+            "mask_lo": jnp.stack(mask_lo, axis=1),
+            "mask_hi": jnp.stack(mask_hi, axis=1),
             "active": active, "n_out": n_out,
-            "code": code, "passed": passed,
+            "code": jnp.stack(codes, axis=1),
+            "passed": jnp.stack(passed, axis=1),
             "poly": poly, "poly_trim": poly_trim,
             "adapter_trimmed": trimmed_total,
             "adapter_recs": jnp.stack(recs, axis=1) if recs

@@ -22,34 +22,41 @@ from ..stats import Stats
 from ..filter_result import FilterResult
 from ..util import loginfo
 from .batches import make_batches
-from .device import build_step, OUT_CAP, TAG_NONE, TAG_SPLIT_LEFT, \
+from .device import build_step, out_cap, TAG_NONE, TAG_SPLIT_LEFT, \
     TAG_SPLIT_RIGHT
 
 _NL = b"\n"
 _TAG_BYTES = {TAG_SPLIT_LEFT: b"split-by-adapter-left-",
               TAG_SPLIT_RIGHT: b"split-by-adapter-right-"}
 
+_SLOT_FIELDS = ("out_lo", "out_hi", "out_tag", "region_no", "is_parent",
+                "mask_lo", "mask_hi", "code", "passed")
+
 
 class BlockResults:
     """Per-record result arrays for one RecordBlock."""
 
-    def __init__(self, n):
+    def __init__(self, n, cap):
+        self.cap = cap
         self.lo = np.zeros(n, np.int32)
         self.hi = np.zeros(n, np.int32)
         self.null = np.zeros(n, bool)
         self.n_out = np.zeros(n, np.int32)
-        self.out_lo = np.zeros((n, OUT_CAP), np.int32)
-        self.out_hi = np.zeros((n, OUT_CAP), np.int32)
-        self.out_tag = np.zeros((n, OUT_CAP), np.int32)
-        self.active = np.zeros((n, OUT_CAP), bool)
-        self.code = np.zeros((n, OUT_CAP), np.int32)
-        self.passed = np.zeros((n, OUT_CAP), bool)
+        self.out_lo = np.zeros((n, cap), np.int32)
+        self.out_hi = np.zeros((n, cap), np.int32)
+        self.out_tag = np.zeros((n, cap), np.int32)
+        self.region_no = np.zeros((n, cap), np.int32)
+        self.is_parent = np.zeros((n, cap), bool)
+        self.mask_lo = np.zeros((n, cap), np.int32)
+        self.mask_hi = np.zeros((n, cap), np.int32)
+        self.active = np.zeros((n, cap), bool)
+        self.code = np.zeros((n, cap), np.int32)
+        self.passed = np.zeros((n, cap), bool)
 
     def scatter(self, indices, out):
         m = indices >= 0
         idx = indices[m]
-        for name in ("lo", "hi", "null", "n_out", "out_lo", "out_hi",
-                     "out_tag", "active", "code", "passed"):
+        for name in ("lo", "hi", "null", "n_out", "active") + _SLOT_FIELDS:
             getattr(self, name)[idx] = out[name][m]
 
 
@@ -60,6 +67,8 @@ class SingleEndRunner:
         self.post_stats = Stats(is_rna=opt.is_rna)
         self.filter_result = FilterResult()
         self.step, self.stages = build_step(opt)
+        self.cap = out_cap(opt)
+        self.mask_enabled = opt.mask.enabled
         self.out_writer = None
         self.failed_writer = None
 
@@ -114,7 +123,7 @@ class SingleEndRunner:
     # ---------------------------------------------------------------- block
 
     def _process_block(self, block):
-        res = BlockResults(block.n)
+        res = BlockResults(block.n, self.cap)
         for batch in make_batches(block):
             out = self.step(jax.numpy.asarray(batch.bases),
                             jax.numpy.asarray(batch.quals),
@@ -173,11 +182,12 @@ class SingleEndRunner:
         qual_off = block.qual_off
         write_failed = self.failed_writer is not None
         write_out = self.out_writer is not None
+        mask_on = self.mask_enabled
         for i in range(block.n):
             if res.null[i]:
                 continue  # trimAndCut returned NULL: the read vanishes
             n_out = res.n_out[i]
-            for c in range(OUT_CAP):
+            for c in range(self.cap):
                 if not res.active[i, c]:
                     continue
                 if res.passed[i, c]:
@@ -187,36 +197,64 @@ class SingleEndRunner:
                     hi = res.out_hi[i, c]
                     so = seq_off[i]
                     qo = qual_off[i]
+                    # name tags compose: '@' + 'rN-' + split-tag + rest
+                    # (breakByRegions renames after breakByGap, both
+                    # inserting at position 1: read.cpp:200,209,244,256)
+                    no = name_off[i]
+                    name = [buf[no:no + 1]]
+                    if res.region_no[i, c] > 0:
+                        name.append(b"r%d-" % res.region_no[i, c])
                     tag = res.out_tag[i, c]
-                    if tag == TAG_NONE:
-                        name = (buf[name_off[i]:name_off[i] + name_len[i]],)
-                    else:
-                        # name.insert(1, tag): '@' + tag + rest (read.cpp:200,209)
-                        no = name_off[i]
-                        name = (buf[no:no + 1], _TAG_BYTES[tag],
-                                buf[no + 1:no + name_len[i]])
-                    out_pieces += name + (
+                    if tag != TAG_NONE:
+                        name.append(_TAG_BYTES[tag])
+                    name.append(buf[no + 1:no + name_len[i]])
+                    out_pieces += name
+                    out_pieces.append(_NL)
+                    out_pieces += self._seq_pieces(
+                        buf, so, lo, hi, res.mask_lo[i, c], res.mask_hi[i, c]
+                    ) if mask_on else [buf[so + lo:so + hi]]
+                    out_pieces += (
                         _NL,
-                        buf[so + lo:so + hi], _NL,
                         buf[strand_off[i]:strand_off[i] + strand_len[i]], _NL,
                         buf[qo + lo:qo + hi], _NL)
                 elif write_failed and n_out == 1:
                     # failed reads are written as the (in-place trimmed)
-                    # PARENT read + tag (seprocessor.cpp:278-279 writes or1)
+                    # PARENT read + tag (seprocessor.cpp:278-279 writes or1);
+                    # when the single out-read IS the parent object, N-masking
+                    # already mutated it in the reference
                     lo = res.lo[i]
                     hi = res.hi[i]
                     so = seq_off[i]
                     qo = qual_off[i]
                     failed_pieces += (
                         buf[name_off[i]:name_off[i] + name_len[i]],
-                        b" ", FAILED_TYPES[res.code[i, c]].encode(), _NL,
-                        buf[so + lo:so + hi], _NL,
+                        b" ", FAILED_TYPES[res.code[i, c]].encode(), _NL)
+                    if mask_on and res.is_parent[i, c]:
+                        failed_pieces += self._seq_pieces(
+                            buf, so, lo, hi, res.mask_lo[i, c],
+                            res.mask_hi[i, c])
+                    else:
+                        failed_pieces.append(buf[so + lo:so + hi])
+                    failed_pieces += (
+                        _NL,
                         buf[strand_off[i]:strand_off[i] + strand_len[i]], _NL,
                         buf[qo + lo:qo + hi], _NL)
         if out_pieces and write_out:
             self.out_writer.write(b"".join(out_pieces))
         if failed_pieces:
             self.failed_writer.write(b"".join(failed_pieces))
+
+    @staticmethod
+    def _seq_pieces(buf, so, lo, hi, m_lo, m_hi):
+        """Sequence bytes for span [lo, hi) with [m_lo, m_hi) (absolute
+        span coords) replaced by Ns (maskRegionWithN, read.cpp:217-225)."""
+        if m_hi <= m_lo:
+            return [buf[so + lo:so + hi]]
+        a = max(lo, m_lo)
+        b = min(hi, m_hi)
+        if b <= a:
+            return [buf[so + lo:so + hi]]
+        return [buf[so + lo:so + a], b"N" * (b - a), buf[so + b:so + hi]]
 
 
 def _truncate_block(block, n):

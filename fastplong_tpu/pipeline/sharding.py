@@ -52,25 +52,22 @@ def build_sharded_step(opt, mesh, axis="data"):
     dp = P(axis)
     rep = P()
 
-    def spec_for_stats(d):
-        return {k: (rep if k in stat_keys else dp) for k in d}
+    # derive the out_specs pytree from the traced output structure:
+    # psum-reduced stats tensors are replicated, everything else sharded
+    B = 8 * mesh.devices.size
+    dummy = (jax.ShapeDtypeStruct((B, 128), jnp.uint8),
+             jax.ShapeDtypeStruct((B, 128), jnp.uint8),
+             jax.ShapeDtypeStruct((B,), jnp.int32),
+             jax.ShapeDtypeStruct((B,), jnp.bool_))
+    out_sd = jax.eval_shape(inner, *dummy)
 
-    # build out_specs by tracing shapes once is overkill; declare explicitly
-    per_read = dp
-    out_specs = {
-        "lo": per_read, "hi": per_read, "null": per_read,
-        "out_lo": per_read, "out_hi": per_read, "out_tag": per_read,
-        "active": per_read, "n_out": per_read,
-        "code": per_read, "passed": per_read,
-        "poly": per_read, "poly_trim": per_read,
-        "adapter_trimmed": per_read, "adapter_recs": per_read,
-        "pre": {k: (rep if k in stat_keys else per_read)
-                for k in ("cycle_q20", "cycle_q30", "cycle_content",
-                          "cycle_qual", "cycle_total_base",
-                          "cycle_total_qual", "base_qual_hist", "kmer",
-                          "median", "rlen", "read_mask", "reads", "bases")},
-    }
-    out_specs["posts"] = [dict(out_specs["pre"]) for _ in range(2)]
+    def spec_of(path, _leaf):
+        keys = [getattr(k, "key", None) for k in path]
+        if ("pre" in keys or "posts" in keys) and keys[-1] in stat_keys:
+            return rep
+        return dp
+
+    out_specs = jax.tree_util.tree_map_with_path(spec_of, out_sd)
 
     fn = shard_map(
         sharded, mesh=mesh,
