@@ -119,20 +119,26 @@ def _seed_scan(bases, base_abs, ncand, spec, start_side):
     B, L = bases.shape
     plen = spec.plen
     P = WINDOW - PATTERN_LEN  # static number of candidate positions
+    R = P + plen  # bytes touched by all candidate windows
     p = jnp.arange(P, dtype=jnp.int32)[None, :]
     j = jnp.arange(plen, dtype=jnp.int32)[None, None, :]
+    # gather the touched region once ([B, R], independent of read length),
+    # then index windows within it — avoids gathers over the full [B, L]
     if start_side:
-        # reversed window: chars (base+p+plen-1) down to (base+p)
-        src = (base_abs[:, None] + p + plen - 1)[:, :, None] - j
+        region = _region(bases, base_abs, R, jnp.full((B,), R, jnp.int32))
+        # reversed window: chars (p+plen-1) down to (p), region-relative
+        src = (p + plen - 1)[:, :, None] - j
         pm = spec.pm_rev
     else:
-        # ascending window starting at base - p
-        src = (base_abs[:, None] - p)[:, :, None] + j
+        region = _region(bases, base_abs - (P - 1), R,
+                         jnp.full((B,), R, jnp.int32))
+        # ascending window starting at (P-1-p), region-relative
+        src = (P - 1 - p)[:, :, None] + j
         pm = spec.pm_fwd
-    ok = (src >= 0) & (src < L)
-    text = jnp.where(ok, jnp.take_along_axis(
-        jnp.broadcast_to(bases[:, None, :], (B, P, L)),
-        jnp.clip(src, 0, L - 1), axis=-1), 0)
+    src = jnp.broadcast_to(src, (B, P, plen))
+    text = jnp.take_along_axis(
+        jnp.broadcast_to(region[:, None, :], (B, P, R)),
+        jnp.clip(src, 0, R - 1), axis=-1)
     plens = jnp.full((B, P), plen, jnp.int32)
     valid = p < ncand[:, None]
     tlens = jnp.where(valid, plen, 0)
