@@ -294,6 +294,54 @@ def seq2int(seq, pos, keylen=KEYLEN, last_val=-1):
     return key
 
 
+def match_known_adapter(seq: str) -> str:
+    """Exact-prefix match against the known-adapter DB (reference
+    Evaluator::matchKnownAdapter, evaluator.cpp:465-483)."""
+    from .knownadapters import get_known_adapter
+    for adapter in get_known_adapter():
+        if len(seq) < len(adapter):
+            continue
+        if seq[:len(adapter)] == adapter:
+            return adapter
+    return ""
+
+
+def get_adapter_with_seed(seed, seqs, keylen, shift_tail=1):
+    """Legacy fastp-style seed extension via NucleotideTree (reference
+    Evaluator::getAdapterWithSeed, evaluator.cpp:410-463; not called in the
+    reference's current flow, kept for capability parity)."""
+    from .nucleotidetree import NucleotideTree
+    forward = NucleotideTree()
+    for s in seqs:
+        key = -1
+        for pos in range(20, len(s) - keylen - shift_tail + 1):
+            key = seq2int(s, pos, keylen, key)
+            if key == seed:
+                # substr(pos+keylen, len-keylen-shiftTail-pos) == [pos+keylen,
+                # len-shiftTail) (evaluator.cpp:422)
+                forward.add_seq(s[pos + keylen:len(s) - shift_tail])
+    fpath, reached_leaf = forward.get_dominant_path()
+
+    backward = NucleotideTree()
+    for s in seqs:
+        key = -1
+        for pos in range(20, len(s) - keylen - shift_tail + 1):
+            key = seq2int(s, pos, keylen, key)
+            if key == seed:
+                backward.add_seq(s[:pos][::-1])
+    bpath, _ = backward.get_dominant_path()
+
+    adapter = bpath[::-1] + int2seq(seed, keylen) + fpath
+    if len(adapter) > 60:
+        adapter = adapter[:60]
+    matched = match_known_adapter(adapter)
+    if matched:
+        return matched
+    if reached_leaf:
+        return adapter
+    return ""
+
+
 def extend_key_to_adapter(key, counts, posacc, is_rna=False, left_first=True):
     """Reference Evaluator::extendKeyToAdapter (evaluator.cpp:324-408)."""
     adapter = int2seq(key, KEYLEN, is_rna)

@@ -76,13 +76,20 @@ class SingleEndRunner:
 
     def run(self):
         opt = self.opt
-        if opt.failed_out:
-            self.failed_writer = Writer(opt.failed_out, opt.compression,
-                                        buffer_size=opt.writer_buffer_size)
-        if opt.out or opt.output_to_stdout:
-            self.out_writer = Writer(opt.out, opt.compression,
-                                     stdout=opt.output_to_stdout,
-                                     buffer_size=opt.writer_buffer_size)
+        if opt.split.enabled:
+            # split mode: per-thread rotating writers, no failed_out
+            # (reference skips initOutput, seprocessor.cpp:66-67)
+            from .split import SplitWriterSet
+            self.split_set = SplitWriterSet(opt)
+        else:
+            self.split_set = None
+            if opt.failed_out:
+                self.failed_writer = Writer(opt.failed_out, opt.compression,
+                                            buffer_size=opt.writer_buffer_size)
+            if opt.out or opt.output_to_stdout:
+                self.out_writer = Writer(opt.out, opt.compression,
+                                         stdout=opt.output_to_stdout,
+                                         buffer_size=opt.writer_buffer_size)
 
         reader = FastqStreamReader(
             "/dev/stdin" if opt.input_from_stdin and not opt.in_file
@@ -109,6 +116,8 @@ class SingleEndRunner:
             self._process_block(block)
         reader.close()
 
+        if self.split_set is not None:
+            self.split_set.close()
         if self.out_writer:
             self.out_writer.close()
         if self.failed_writer:
@@ -180,17 +189,24 @@ class SingleEndRunner:
         seq_off = block.seq_off
         strand_off, strand_len = block.strand_off, block.strand_len
         qual_off = block.qual_off
+        split = self.split_set
         write_failed = self.failed_writer is not None
-        write_out = self.out_writer is not None
+        write_out = self.out_writer is not None or split is not None
         mask_on = self.mask_enabled
         for i in range(block.n):
+            if split is not None:
+                read_start = len(out_pieces)
             if res.null[i]:
+                if split is not None:
+                    split.add_read([], 0)
                 continue  # trimAndCut returned NULL: the read vanishes
             n_out = res.n_out[i]
+            read_passed = False
             for c in range(self.cap):
                 if not res.active[i, c]:
                     continue
                 if res.passed[i, c]:
+                    read_passed = True
                     if not write_out:
                         continue
                     lo = res.out_lo[i, c]
@@ -239,7 +255,13 @@ class SingleEndRunner:
                         _NL,
                         buf[strand_off[i]:strand_off[i] + strand_len[i]], _NL,
                         buf[qo + lo:qo + hi], _NL)
-        if out_pieces and write_out:
+            if split is not None:
+                pieces = out_pieces[read_start:]
+                del out_pieces[read_start:]
+                split.add_read(pieces, 1 if read_passed else 0)
+        if split is not None:
+            return
+        if out_pieces and self.out_writer is not None:
             self.out_writer.write(b"".join(out_pieces))
         if failed_pieces:
             self.failed_writer.write(b"".join(failed_pieces))
