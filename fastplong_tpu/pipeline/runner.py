@@ -139,14 +139,18 @@ class SingleEndRunner:
                             jax.numpy.asarray(batch.lens),
                             jax.numpy.asarray(batch.read_mask))
             out = jax.tree.map(np.asarray, out)
-            self._accumulate(out)
+            order = np.where(batch.indices >= 0,
+                             block.first_index + batch.indices, 1 << 60)
+            self._accumulate(out, order)
             res.scatter(batch.indices, out)
         self._emit(block, res)
 
-    def _accumulate(self, out):
-        self.pre_stats.add_batch(out["pre"])
-        for post in out["posts"]:
-            self.post_stats.add_batch(post)
+    def _accumulate(self, out, order):
+        cap = len(out["posts"])
+        self.pre_stats.add_batch(out["pre"], order)
+        for ci, post in enumerate(out["posts"]):
+            # sub-reads of one input read keep slot order within the read
+            self.post_stats.add_batch(post, order * cap + ci)
         active = out["active"]
         codes = out["code"][active]
         if len(codes):

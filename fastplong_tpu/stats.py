@@ -72,8 +72,13 @@ class Stats:
             setattr(self, name, buf)
         self.buf_len = new_len
 
-    def add_batch(self, partial):
-        """Accumulate a stat_batch() result dict (host numpy arrays)."""
+    def add_batch(self, partial, order=None):
+        """Accumulate a stat_batch() result dict (host numpy arrays).
+
+        order: optional int64 per-row global input ordinal; used to make the
+        median-qual/length pair listing match the reference's single-thread
+        insertion order in the HTML density plot.
+        """
         L = partial["cycle_total_base"].shape[0]
         self._ensure(L)
         self.cycle_q20[:, :L] += partial["cycle_q20"]
@@ -99,7 +104,10 @@ class Stats:
         ln = rlen[live]
         np.add.at(self.median_qual_hist, med, 1)
         np.add.at(self.median_qual_bases, med, ln)
-        self._qual_len_chunks.append((med.copy(), ln.copy()))
+        if order is None:
+            order = np.arange(len(rlen), dtype=np.int64)
+        self._qual_len_chunks.append((med.copy(), ln.copy(),
+                                      np.asarray(order)[live].copy()))
         self.summarized = False
 
     # ------------------------------------------------------------- summarize
@@ -213,12 +221,16 @@ class Stats:
         return self.cycles > 300
 
     def qual_length_pairs(self):
-        """All (median_qual_byte, length) pairs, in accumulation order."""
+        """(median_qual_byte, length) pairs ordered like the reference's
+        mQualLength map iteration: by median, then input order within a
+        median (stats.cpp:679-687)."""
         if not self._qual_len_chunks:
             return np.zeros(0, np.uint8), np.zeros(0, np.int64)
-        meds = np.concatenate([m for m, _ in self._qual_len_chunks])
-        lens = np.concatenate([l for _, l in self._qual_len_chunks])
-        return meds, lens
+        meds = np.concatenate([c[0] for c in self._qual_len_chunks])
+        lens = np.concatenate([c[1] for c in self._qual_len_chunks])
+        order = np.concatenate([c[2] for c in self._qual_len_chunks])
+        perm = np.lexsort((order, meds))
+        return meds[perm], lens[perm]
 
     def print_summary(self, out):
         self.summarize()

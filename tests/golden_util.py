@@ -68,6 +68,14 @@ def run_reference(in_fq, workdir, extra_args):
     return out, failed, js, r.stderr.decode()
 
 
+def norm_html(text):
+    """Strip run-dependent parts: timestamps and the command line."""
+    text = re.sub(r'at [0-9: -]+ </title>', 'at T </title>', text)
+    text = re.sub(r'at [0-9: -]+ </div>', 'at T </div>', text)
+    text = re.sub(r'<p>.*?</p>', '<p>X</p>', text)
+    return text
+
+
 def run_ours(in_fq, workdir, extra_args):
     from fastplong_tpu.main import main
     out = os.path.join(workdir, "my_out.fq")
@@ -84,7 +92,8 @@ def strip_command(text):
     return re.sub(r'"command": ".*"', '"command": "X"', text)
 
 
-def assert_parity(in_fq, workdir, extra_args, check_json=True):
+def assert_parity(in_fq, workdir, extra_args, check_json=True,
+                  check_html=False):
     ref_out, ref_failed, ref_json, _ = run_reference(in_fq, workdir, extra_args)
     my_out, my_failed, my_json = run_ours(in_fq, workdir, extra_args)
     ro = open(ref_out, "rb").read()
@@ -97,6 +106,10 @@ def assert_parity(in_fq, workdir, extra_args, check_json=True):
         rj = strip_command(open(ref_json).read())
         mj = strip_command(open(my_json).read())
         assert rj == mj, _first_diff(rj.encode(), mj.encode(), "json")
+    if check_html:
+        rh = norm_html(open(os.path.join(workdir, "ref.html")).read())
+        mh = norm_html(open(os.path.join(workdir, "my.html")).read())
+        assert rh == mh, _first_diff(rh.encode(), mh.encode(), "html")
 
 
 def _first_diff(a, b, label):
