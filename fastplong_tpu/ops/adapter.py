@@ -27,7 +27,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .myers import build_pattern_table, myers_distance, BLOCK
+from .myers import (build_pattern_table, build_pattern_masks,
+                    myers_distance, myers_distance_unrolled, BLOCK)
 from .primitives import first_true, last_true
 
 WINDOW = 200
@@ -49,15 +50,24 @@ class AdapterSpec:
         self.ed_max = ed_max
         self.thr_full = _cpp_round(ed_max * self.alen)
         self.thr_seed = _cpp_round(ed_max * self.plen)
-        self.pm_fwd = jnp.asarray(build_pattern_table(self.data))
-        self.pm_rev = jnp.asarray(build_pattern_table(self.data[::-1]))
-        # thresholds for every possible cmplen (plen..alen)
-        self.thr_by_cmplen = jnp.asarray(
-            [_cpp_round(ed_max * c) for c in range(self.alen + 1)],
-            jnp.int32) if self.alen else jnp.zeros(1, jnp.int32)
+        self.pm_fwd, self.K = build_pattern_masks(self.data)
+        self.pm_rev, _ = build_pattern_masks(self.data[::-1])
+        # thresholds for every possible cmplen (plen..alen), python ints
+        self.thr_list = [_cpp_round(ed_max * c) for c in range(self.alen + 1)]
         self.adapter_arr = jnp.asarray(
             np.frombuffer(self.data, np.uint8)) if self.alen else \
             jnp.zeros(0, jnp.uint8)
+        # python-int bitmasks of the seed patterns (char -> plen-bit mask)
+        self.seed_masks_fwd = _seed_masks(self.data[:self.plen])
+        self.seed_masks_rev = _seed_masks(self.data[::-1][:self.plen])
+
+
+def _seed_masks(pattern: bytes):
+    """{char_byte: bitmask} with bit i set iff pattern[i] == char."""
+    masks = {}
+    for i, ch in enumerate(pattern):
+        masks[ch] = masks.get(ch, 0) | (1 << i)
+    return masks
 
 
 def _region(bases, start_abs, R, valid_len):
@@ -69,18 +79,17 @@ def _region(bases, start_abs, R, valid_len):
     return jnp.where(ok, out, 0)
 
 
-def _mismatch_counts(region, adapter_arr):
-    """mm[b, p] = #(region[b, p+i] != adapter[i], i<alen) for all p with
-    p+alen <= R.  Positions near the edge include padding-zero columns
-    (callers mask by range)."""
-    B, R = region.shape
-    alen = adapter_arr.shape[0]
-    P = R - alen + 1
-    if P <= 0:
-        return jnp.zeros((B, 0), jnp.int32)
-    mm = jnp.zeros((B, P), jnp.int32)
-    for i in range(alen):
-        mm = mm + (region[:, i:i + P] != adapter_arr[i])
+def _mismatch_full(bases, data: bytes):
+    """mm[b, p] = #(bases[b, p+i] != adapter[i], i<alen) at EVERY raw
+    position p in [0, L).  Windows running past L compare against zero
+    padding (callers mask by range).  Compares use python-int constants so
+    tracing stays cheap and the compiled code is pure VPU adds."""
+    B, L = bases.shape
+    alen = len(data)
+    padded = jnp.pad(bases, ((0, 0), (0, alen)))
+    mm = jnp.zeros((B, L), jnp.int32)
+    for i, ch in enumerate(data):
+        mm = mm + (padded[:, i:i + L] != ch)
     return mm
 
 
@@ -105,7 +114,27 @@ def _verify_at(bases, abs_start, spec, cmplen=None, reverse=False):
     text = jnp.where(ok, jnp.take_along_axis(
         bases, jnp.clip(src, 0, L - 1), axis=-1), 0)
     pm = spec.pm_rev if reverse else spec.pm_fwd
-    return myers_distance(pm, n, text, n)
+    return myers_distance_unrolled(pm, spec.K, n, text, n)
+
+
+def _thr_select(cmplen, spec):
+    """round(edMax*cmplen) per lane as a select chain over the static
+    threshold table (no device-table gather)."""
+    thr = jnp.zeros(cmplen.shape, jnp.int32)
+    for c in range(1, spec.alen + 1):
+        t = spec.thr_list[c]
+        if c == 1 or t != spec.thr_list[c - 1]:
+            thr = jnp.where(cmplen >= c, t, thr)
+    return thr
+
+
+def _pm_select(col, masks, dtype=jnp.uint32):
+    """Pattern-mask lookup without a gather: a select chain over the (at
+    most 5) distinct pattern characters."""
+    pm = jnp.zeros(col.shape, dtype)
+    for ch, m in masks.items():
+        pm = jnp.where(col == ch, dtype(m), pm)
+    return pm
 
 
 def _seed_scan(bases, base_abs, ncand, spec, start_side):
@@ -115,35 +144,50 @@ def _seed_scan(bases, base_abs, ncand, spec, start_side):
     end side:   text = read[rlen-plen-p : rlen-p], pattern = adapter[:plen]
     base_abs: absolute index of the p=0 window's anchor
       (start side: lo;  end side: lo + rlen - plen)
+
+    All P windows advance one Myers step per unrolled iteration; the text
+    column for step j is a SLICE of a small gathered region, and the
+    pattern-mask lookup is a select chain — no gathers in the loop, pure
+    VPU work on [B, P] lanes (plen <= 16 so a single uint32 block).
     """
     B, L = bases.shape
     plen = spec.plen
     P = WINDOW - PATTERN_LEN  # static number of candidate positions
     R = P + plen  # bytes touched by all candidate windows
-    p = jnp.arange(P, dtype=jnp.int32)[None, :]
-    j = jnp.arange(plen, dtype=jnp.int32)[None, None, :]
-    # gather the touched region once ([B, R], independent of read length),
-    # then index windows within it — avoids gathers over the full [B, L]
     if start_side:
         region = _region(bases, base_abs, R, jnp.full((B,), R, jnp.int32))
-        # reversed window: chars (p+plen-1) down to (p), region-relative
-        src = (p + plen - 1)[:, :, None] - j
-        pm = spec.pm_rev
+        masks = spec.seed_masks_rev
     else:
         region = _region(bases, base_abs - (P - 1), R,
                          jnp.full((B,), R, jnp.int32))
-        # ascending window starting at (P-1-p), region-relative
-        src = (P - 1 - p)[:, :, None] + j
-        pm = spec.pm_fwd
-    src = jnp.broadcast_to(src, (B, P, plen))
-    text = jnp.take_along_axis(
-        jnp.broadcast_to(region[:, None, :], (B, P, R)),
-        jnp.clip(src, 0, R - 1), axis=-1)
-    plens = jnp.full((B, P), plen, jnp.int32)
+        masks = spec.seed_masks_fwd
+
+    one = jnp.uint32(1)
+    full = jnp.uint32((1 << plen) - 1)
+    top = jnp.uint32(1 << (plen - 1))
+    zero32 = jnp.uint32(0)
+    VP = jnp.full((B, P), full, jnp.uint32)
+    VN = jnp.zeros((B, P), jnp.uint32)
+    D = jnp.full((B, P), plen, jnp.int32)
+    for j in range(plen):
+        if start_side:
+            # window p, step j reads region[p + plen-1-j]
+            col = region[:, plen - 1 - j: plen - 1 - j + P]
+        else:
+            # window p, step j reads region[P-1-p + j] = flip(region[j:j+P])
+            col = region[:, j: j + P][:, ::-1]
+        X = _pm_select(col, masks)
+        D0 = (((X & VP) + VP) ^ VP) | X | VN
+        HP = VN | ~(D0 | VP)
+        HN = D0 & VP
+        X2 = (HP << one) | one
+        VP = ((HN << one) | ~(D0 | X2)) & full
+        VN = D0 & X2
+        D = D + jnp.where((HP & top) != zero32, 1,
+                          jnp.where((HN & top) != zero32, -1, 0))
+    p = jnp.arange(P, dtype=jnp.int32)[None, :]
     valid = p < ncand[:, None]
-    tlens = jnp.where(valid, plen, 0)
-    ed = myers_distance(pm, plens, text, tlens)
-    return jnp.where(valid, ed, 10 ** 6)
+    return jnp.where(valid, D, 10 ** 6)
 
 
 def search_full(mm, rlen, alen, thr, lo_rel, hi_rel_excl, policy):
@@ -185,7 +229,7 @@ def search_full(mm, rlen, alen, thr, lo_rel, hi_rel_excl, policy):
     return pos, needs_verify
 
 
-def trim_by_sequence_start(bases, lo, hi, spec, ext):
+def trim_by_sequence_start(bases, lo, hi, spec, ext, mm=None):
     """Returns (new_lo, trimmed_ret, rec_cmplen) per read.
 
     trimmed_ret: value added to FilterResult (0 = no trim).
@@ -200,9 +244,9 @@ def trim_by_sequence_start(bases, lo, hi, spec, ext):
         z = jnp.zeros((B,), jnp.int32)
         return lo, z, z
 
-    R = WINDOW + alen
-    region = _region(bases, lo, R, rlen)
-    mm = _mismatch_counts(region, spec.adapter_arr)  # [B, WINDOW+1]
+    # mismatch counts over RAW positions; candidate ranges offset by lo
+    if mm is None:
+        mm = _mismatch_full(bases, spec.data)
 
     search_end = jnp.minimum(rlen, WINDOW)
     # searchAdapter(.., 0, WINDOW, false, true): rightmost policy needs
@@ -210,8 +254,8 @@ def trim_by_sequence_start(bases, lo, hi, spec, ext):
     valid_search = (alen <= rlen) & (search_end > alen)
     pos_f, needs_v = search_full(
         mm, rlen, alen, spec.thr_full,
-        jnp.zeros((B,), jnp.int32), search_end - alen + 1, "right")
-    pos_f = jnp.where(valid_search, pos_f, -1)
+        lo, lo + search_end - alen + 1, "right")
+    pos_f = jnp.where(valid_search & (pos_f >= 0), pos_f - lo, -1)
     ed_f = _verify_at(bases, lo + jnp.maximum(pos_f, 0), spec)
     ok_f = (pos_f >= 0) & jnp.where(needs_v, ed_f <= spec.thr_full, True)
 
@@ -226,7 +270,7 @@ def trim_by_sequence_start(bases, lo, hi, spec, ext):
     # verify: ed(read[pos+plen-cmplen : pos+plen], adapter[alen-cmplen:])
     ed_p = _verify_at(bases, lo + jnp.maximum(pos_p, 0) + plen - 1, spec,
                       cmplen=cmplen, reverse=True)
-    thr_c = spec.thr_by_cmplen[jnp.clip(cmplen, 0, alen)]
+    thr_c = _thr_select(cmplen, spec)
     ok_p = (pos_p >= 0) & (ed_p <= thr_c)
 
     # ---- combine (full match wins; partial only tried if no full match)
@@ -247,7 +291,7 @@ def trim_by_sequence_start(bases, lo, hi, spec, ext):
     return new_lo, trimmed_ret, rec
 
 
-def trim_by_sequence_end(bases, lo, hi, spec, ext):
+def trim_by_sequence_end(bases, lo, hi, spec, ext, mm=None):
     """Returns (new_hi, trimmed_ret, rec_cmplen); rec as in start side but
     recording adapter[:cmplen]."""
     B, L = bases.shape
@@ -259,17 +303,16 @@ def trim_by_sequence_end(bases, lo, hi, spec, ext):
         return hi, z, z
 
     # ---- full match: leftmost in [searchStart, rlen-alen) over the last
-    # WINDOW bases; mismatch region anchored at lo+searchStart
+    # WINDOW bases; raw-coordinate mismatch scan, range offset by lo
     search_start = jnp.maximum(rlen - WINDOW, 0)
-    R = WINDOW + alen
-    region = _region(bases, lo + search_start, R, rlen - search_start)
-    mm = _mismatch_counts(region, spec.adapter_arr)
+    if mm is None:
+        mm = _mismatch_full(bases, spec.data)
     valid_search = (search_start + alen) <= rlen
-    # range relative to search_start: p in [0, (rlen - alen) - search_start)
     pos_f, needs_v = search_full(
         mm, rlen, alen, spec.thr_full,
-        jnp.zeros((B,), jnp.int32), rlen - alen - search_start, "left")
-    pos_f = jnp.where(valid_search, pos_f, -1)
+        lo + search_start, lo + rlen - alen, "left")
+    pos_f = jnp.where(valid_search & (pos_f >= 0), pos_f - lo - search_start,
+                      -1)
     abs_f = search_start + pos_f  # position within the span
     ed_f = _verify_at(bases, lo + jnp.maximum(abs_f, 0), spec)
     ok_f = (pos_f >= 0) & jnp.where(needs_v, ed_f <= spec.thr_full, True)
@@ -295,7 +338,7 @@ def trim_by_sequence_end(bases, lo, hi, spec, ext):
     cmplen = jnp.minimum(pos_p + plen, alen)
     ed_p = _verify_at(bases, lo + rlen - plen - jnp.maximum(pos_p, 0), spec,
                       cmplen=cmplen, reverse=False)
-    thr_c = spec.thr_by_cmplen[jnp.clip(cmplen, 0, alen)]
+    thr_c = _thr_select(cmplen, spec)
     ok_p = has_p & (ed_p <= thr_c)
 
     # ---- combine
@@ -316,7 +359,7 @@ def trim_by_sequence_end(bases, lo, hi, spec, ext):
     return new_hi, trimmed_ret, rec
 
 
-def search_global(bases, lo, hi, spec):
+def search_global(bases, lo, hi, spec, mm=None):
     """searchAdapter with default policy over the whole span (used by
     findMiddleAdapters).  Returns position within span or -1."""
     B, L = bases.shape
@@ -326,25 +369,25 @@ def search_global(bases, lo, hi, spec):
         # degenerate: empty adapter "matches" at 0 whenever the global loop
         # runs at least once (rlen > 0)
         return jnp.where(rlen > 0, 0, -1).astype(jnp.int32)
-    region = _region(bases, lo, L, rlen)
-    mm = _mismatch_counts(region, spec.adapter_arr)
+    if mm is None:
+        mm = _mismatch_full(bases, spec.data)
     valid = alen <= rlen
     pos, needs_v = search_full(
-        mm, rlen, alen, spec.thr_full,
-        jnp.zeros((B,), jnp.int32), rlen - alen, "global")
-    pos = jnp.where(valid, pos, -1)
+        mm, rlen, alen, spec.thr_full, lo, lo + rlen - alen, "global")
+    pos = jnp.where(valid & (pos >= 0), pos - lo, -1)
     ed = _verify_at(bases, lo + jnp.maximum(pos, 0), spec)
     ok = (pos >= 0) & (ed <= spec.thr_full)
     return jnp.where(ok, pos, -1)
 
 
-def find_middle_adapters(bases, lo, hi, start_spec, end_spec, ext):
+def find_middle_adapters(bases, lo, hi, start_spec, end_spec, ext,
+                         mm_start=None, mm_end=None):
     """Reference findMiddleAdapters (adaptertrimmer.cpp:13-40).
 
     Returns (found, start, length) relative to the span."""
     rlen = hi - lo
-    sp = search_global(bases, lo, hi, start_spec)
-    ep = search_global(bases, lo, hi, end_spec)
+    sp = search_global(bases, lo, hi, start_spec, mm=mm_start)
+    ep = search_global(bases, lo, hi, end_spec, mm=mm_end)
     slen = start_spec.alen
     elen = end_spec.alen
 

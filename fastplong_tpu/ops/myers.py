@@ -123,6 +123,103 @@ def myers_distance(pm_tbl, plen, text, tlen):
     return D
 
 
+def build_pattern_masks(pattern: bytes):
+    """{char: tuple of K uint32 ints} bitmasks + K, for the select-chain
+    kernel (no device tables, so no gathers)."""
+    plen = len(pattern)
+    K = max(1, (plen + BLOCK - 1) // BLOCK)
+    masks = {}
+    for i, ch in enumerate(pattern):
+        if ch not in masks:
+            masks[ch] = [0] * K
+        masks[ch][i // BLOCK] |= 1 << (i % BLOCK)
+    return {ch: tuple(m) for ch, m in masks.items()}, K
+
+
+def myers_distance_unrolled(masks, K, plen, text, tlen, T=None):
+    """Batched Myers distance with all pattern lookups as select chains —
+    no gathers anywhere.  The text loop is a lax.scan (tiny-bodied scans
+    are cheap on TPU; unrolling instead blows up XLA compile for long
+    patterns).
+
+    masks/K: from build_pattern_masks (python ints).
+    plen: [...] per-lane pattern length; text: [..., T] uint8;
+    tlen: [...] per-lane text length.
+    """
+    if T is None:
+        T = text.shape[-1]
+    shape = text.shape[:-1]
+    plen = jnp.maximum(plen.astype(jnp.int32), 0)
+    tlen = tlen.astype(jnp.int32)
+
+    one = jnp.uint32(1)
+    zero32 = jnp.uint32(0)
+    lmb = jnp.uint32(1) << jnp.uint32(BLOCK - 1)
+
+    def init_vp(r):
+        bits = jnp.clip(plen - r * BLOCK, 0, BLOCK)
+        full = jnp.uint32(0xFFFFFFFF)
+        safe = jnp.clip(bits, 0, BLOCK - 1).astype(jnp.uint32)
+        partial = (jnp.uint32(1) << safe) - jnp.uint32(1)
+        return jnp.where(bits >= BLOCK, full, partial)
+
+    VP0 = [init_vp(r) for r in range(K)]
+    VN0 = [jnp.zeros(shape, jnp.uint32) for _ in range(K)]
+    D0_ = jnp.where(plen > 0, plen, 0).astype(jnp.int32)
+
+    top_block = jnp.clip((plen - 1) // BLOCK, 0, K - 1)
+    top_bit = jnp.where(plen > 0, (plen - 1) % BLOCK, 0).astype(jnp.uint32)
+
+    def step(carry, xs):
+        col, j = xs
+        D, VP, VN = carry
+        active = j < tlen
+        hn_carry = jnp.zeros(shape, bool)
+        hp_carry = jnp.ones(shape, bool)
+        newVP = []
+        newVN = []
+        HPs = []
+        HNs = []
+        for r in range(K):
+            X = jnp.zeros(shape, jnp.uint32)
+            for ch, mlist in masks.items():
+                if mlist[r]:
+                    X = jnp.where(col == ch, jnp.uint32(mlist[r]), X)
+            X = jnp.where(hn_carry, X | one, X)
+            vp = VP[r]
+            vn = VN[r]
+            D0 = (((X & vp) + vp) ^ vp) | X | vn
+            HP = vn | ~(D0 | vp)
+            HN = D0 & vp
+            X2 = HP << one
+            X2 = jnp.where(hp_carry, X2 | one, X2)
+            vp_new = (HN << one) | ~(D0 | X2)
+            vp_new = jnp.where(hn_carry, vp_new | one, vp_new)
+            vn_new = D0 & X2
+            newVP.append(jnp.where(active, vp_new, vp))
+            newVN.append(jnp.where(active, vn_new, vn))
+            HPs.append(HP)
+            HNs.append(HN)
+            hn_carry = (HN & lmb) != zero32
+            hp_carry = (HP & lmb) != zero32
+        # top-block selection without a gather: where-chain over K
+        hp_top = HPs[0]
+        hn_top = HNs[0]
+        for r in range(1, K):
+            hp_top = jnp.where(top_block == r, HPs[r], hp_top)
+            hn_top = jnp.where(top_block == r, HNs[r], hn_top)
+        inc = jnp.where(((hp_top >> top_bit) & one) != zero32, 1,
+                        jnp.where(((hn_top >> top_bit) & one) != zero32, -1, 0))
+        D = jnp.where(active & (plen > 0), D + inc, D)
+        return (D, newVP, newVN), None
+
+    text_t = jnp.moveaxis(text, -1, 0)
+    (D, _, _), _ = jax.lax.scan(
+        step, (D0_, VP0, VN0),
+        (text_t, jnp.arange(T, dtype=jnp.int32)))
+    return jnp.where(plen > 0, D, tlen)
+
+
 def edit_distance_host(a: bytes, b: bytes) -> int:
     """Host fallback DP for very long patterns (reference
     editdistance.cpp:66-76 path for >640bp)."""

@@ -17,6 +17,7 @@ reference records these in FilterResult::addPolyXTrimmed).
 
 import jax.numpy as jnp
 
+from .align import align_single
 from .primitives import first_true, last_true
 
 _BASES = (ord("A"), ord("T"), ord("C"), ord("G"))
@@ -30,12 +31,10 @@ def trim_polyx(bases, lo, hi, compare_req):
     rlen = hi - lo
 
     idx = jnp.arange(L, dtype=jnp.int32)[None, :]
-    # tail-relative position: pos p corresponds to absolute index hi-1-p.
-    # Build reversed-from-tail views via gather.
-    rev_idx = jnp.clip(hi[:, None] - 1 - idx, 0, L - 1)
-    in_span = idx < rlen[:, None]
-    tail_bases = jnp.where(
-        in_span, jnp.take_along_axis(bases, rev_idx, axis=-1), 0)
+    # tail-relative position: pos p corresponds to absolute index hi-1-p;
+    # the tail view = flip the whole row, then shift left by L - hi
+    # (a sort-based alignment — data-dependent gathers are slow on TPU)
+    tail_bases, in_span = align_single(bases[:, ::-1], L - hi, rlen)
 
     is_n = tail_bases == N_CHAR
     counts = []  # cumulative counts C[b][p] inclusive of position p
@@ -64,7 +63,9 @@ def trim_polyx(bases, lo, hi, compare_req):
     # dominant base: first index with strictly greater count (reference uses
     # `>` so earlier bases win ties; argmax picks the first maximum)
     poly = jnp.argmax(counts_at, axis=1).astype(jnp.int32)
-    poly_char = jnp.asarray(_BASES, jnp.uint8)[poly]
+    poly_char = jnp.full(poly.shape, _BASES[0], jnp.uint8)
+    for bi in range(1, 4):
+        poly_char = jnp.where(poly == bi, jnp.uint8(_BASES[bi]), poly_char)
 
     # walk back: largest pos' <= P with tail_bases[pos'] == polyBase, else -1
     match = (tail_bases == poly_char[:, None]) & (idx <= P[:, None]) & in_span

@@ -14,33 +14,30 @@ span to cycle 0 via a gather so that "cycle" == position within the
 
 import jax.numpy as jnp
 
+from .align import align_spans
+
 Q20_CHAR = ord("5")
 Q30_CHAR = ord("?")
 
 
-def _align_spans(bases, quals, lo, hi):
-    """Shift each read's span to start at column 0; returns masked arrays."""
-    B, L = bases.shape
-    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
-    src = jnp.clip(lo[:, None] + idx, 0, L - 1)
-    rlen = (hi - lo)[:, None]
-    m = idx < rlen
-    b = jnp.where(m, jnp.take_along_axis(bases, src, axis=-1), 0)
-    q = jnp.where(m, jnp.take_along_axis(quals, src, axis=-1), 0)
-    return b, q, m
-
-
-def stat_batch(bases, quals, lo, hi, read_mask):
+def stat_batch(bases, quals, lo, hi, read_mask, zero_lo=False):
     """Returns a dict of per-batch partial statistics.
 
     read_mask [B] bool excludes padding rows / filtered-out reads.
+    zero_lo=True (pre-stats on untrimmed reads) skips span alignment.
     """
     B, L = bases.shape
     lo = lo.astype(jnp.int32)
     hi = jnp.maximum(hi.astype(jnp.int32), lo)
     rlen = jnp.where(read_mask, hi - lo, 0)
 
-    b, q, m = _align_spans(bases, quals, lo, hi)
+    if zero_lo:
+        idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+        m = idx < hi[:, None]
+        b = jnp.where(m, bases, 0)
+        q = jnp.where(m, quals, 0)
+    else:
+        b, q, m = align_spans(bases, quals, lo, hi)
     m = m & read_mask[:, None]
     qv = jnp.where(m, q.astype(jnp.int32), 0)
 

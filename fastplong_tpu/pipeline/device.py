@@ -33,7 +33,8 @@ from ..ops.stats_kernels import stat_batch
 from ..ops.primitives import qual_cumsum
 from ..ops.regions import detect_regions_summary
 from ..ops.adapter import (AdapterSpec, trim_by_sequence_start,
-                           trim_by_sequence_end, find_middle_adapters)
+                           trim_by_sequence_end, find_middle_adapters,
+                           _mismatch_full)
 
 TAG_NONE = 0
 TAG_SPLIT_LEFT = 1
@@ -135,7 +136,8 @@ def build_step(opt):
     def step(bases, quals, lens, read_mask):
         B = lens.shape[0]
         lens = jnp.where(read_mask, lens, 0)
-        pre = stat_batch(bases, quals, jnp.zeros_like(lens), lens, read_mask)
+        pre = stat_batch(bases, quals, jnp.zeros_like(lens), lens,
+                         read_mask, zero_lo=True)
 
         lo, hi, null = trim_and_cut(
             bases, quals, lens, p["trim_front"], p["trim_tail"], **p["cut"])
@@ -152,17 +154,27 @@ def build_step(opt):
             poly = jnp.where(null, -1, poly_b)
             poly_trim = jnp.where(null, 0, ptrim)
 
-        # ---- adapter trimming (each stage mutates the span sequentially)
+        # ---- adapter trimming (each stage mutates the span sequentially);
+        # the raw-position mismatch scan depends only on (bases, adapter),
+        # so it is computed once per distinct adapter and shared across
+        # stages and the middle-adapter search
+        mm_cache = {}
+
+        def mm_for(sp_):
+            if sp_.data not in mm_cache and sp_.alen > 0:
+                mm_cache[sp_.data] = _mismatch_full(bases, sp_.data)
+            return mm_cache.get(sp_.data)
+
         trimmed_total = jnp.zeros((B,), jnp.int32)
         recs = []
         for spec, (seq, side) in zip(specs, stages):
             if side == "start":
                 new_lo, t, rec = trim_by_sequence_start(
-                    bases, lo, hi, spec, p["ext"])
+                    bases, lo, hi, spec, p["ext"], mm=mm_for(spec))
                 lo = jnp.where(null, lo, new_lo)
             else:
                 new_hi, t, rec = trim_by_sequence_end(
-                    bases, lo, hi, spec, p["ext"])
+                    bases, lo, hi, spec, p["ext"], mm=mm_for(spec))
                 hi = jnp.where(null, hi, new_hi)
             t = jnp.where(null, 0, t)
             rec = jnp.where(null, 0, rec)
@@ -176,7 +188,9 @@ def build_step(opt):
         # ---- middle adapter split (breakByGap)
         if middle_specs is not None:
             found, mstart, mlen = find_middle_adapters(
-                bases, lo, hi, middle_specs[0], middle_specs[1], p["ext"])
+                bases, lo, hi, middle_specs[0], middle_specs[1], p["ext"],
+                mm_start=mm_for(middle_specs[0]),
+                mm_end=mm_for(middle_specs[1]))
             found = found & ~null
             len1 = mstart
             len2 = (hi - lo) - mstart - mlen
