@@ -50,20 +50,22 @@ def make_batches(block):
     seq_len = block.seq_len
     order = np.argsort(seq_len, kind="stable")
     arr = block.arr
+    # group reads by their OWN length bucket (reads are sorted, so groups
+    # are contiguous) — the compiled (B, L) shapes stay canonical, one per
+    # bucket, since every new shape costs an XLA compile
+    bucket_idx = np.searchsorted(np.asarray(_BUCKETS, np.int64),
+                                 np.maximum(seq_len[order], 1))
     pos = 0
     while pos < n:
-        # `order` is ascending by length: tentatively take a full batch for
-        # the smallest read's bucket, then shrink to the bucket the group
-        # max actually lands in (taking fewer of the sorted reads can only
-        # lower the max, so one adjustment suffices).
-        L = bucket_len(max(int(seq_len[order[pos]]), 1))
-        take = order[pos:pos + batch_rows(L)]
-        gmax = int(seq_len[take].max())
-        if gmax > L:
-            L = bucket_len(gmax)
-            take = order[pos:pos + batch_rows(L)]
-        pos += len(take)
-        yield _pack(block, take, L, batch_rows(L))
+        bi = bucket_idx[pos]
+        L = _BUCKETS[bi]
+        rows = batch_rows(L)
+        end = pos
+        while end < n and end - pos < rows and bucket_idx[end] == bi:
+            end += 1
+        take = order[pos:end]
+        pos = end
+        yield _pack(block, take, L, rows)
 
 
 def _pack(block, take, L, rows):
