@@ -310,3 +310,98 @@ def build_step(opt):
         }
 
     return jax.jit(step), stages
+
+
+# --------------------------------------------------------------------------
+# Transfer-optimized variant: device-resident stat accumulators (donated
+# carry, fetched once at end of run) + ONE packed int32 per-read output
+# array per batch.  Device<->host traffic per batch drops from ~15MB across
+# ~40 arrays to one ~8MB input and one sub-MB output — essential because
+# d2h transfers cost ~30-60ms each on this interconnect and collapse
+# entirely above ~8MB per array.
+# --------------------------------------------------------------------------
+
+_STAT_KEYS = ("cycle_q20", "cycle_q30", "cycle_content", "cycle_qual",
+              "cycle_total_base", "cycle_total_qual", "base_qual_hist",
+              "kmer")
+
+
+def init_stats_state(L):
+    """Zeroed device-resident accumulators for one bucket length."""
+    def z(shape):
+        return jnp.zeros(shape, jnp.int32)
+    one_side = {
+        "cycle_q20": z((8, L)), "cycle_q30": z((8, L)),
+        "cycle_content": z((8, L)), "cycle_qual": z((8, L)),
+        "cycle_total_base": z(L), "cycle_total_qual": z(L),
+        "base_qual_hist": z(128), "kmer": z(1024),
+    }
+    return {"pre": dict(one_side),
+            "post": {k: jnp.zeros_like(v) for k, v in one_side.items()}}
+
+
+def _acc(state_side, partial):
+    return {k: state_side[k] + partial[k] for k in _STAT_KEYS}
+
+
+def packed_fields(opt):
+    """(n_fixed, cap, n_stages) describing the packed per-read layout."""
+    p = kernel_params(opt)
+    cap = out_cap(opt)
+    n_stages = len(adapter_stages(p))
+    return 5, cap, n_stages
+
+
+def build_fast_step(opt):
+    """Returns (jitted fn(state, packed_in, lens, mask) ->
+    (state', packed_out), stages).
+
+    packed_in: [B, 2L] uint8 (bases || quals).
+    packed_out: [B, F] int32 with layout
+      0: lo   1: hi
+      2: flags = null | n_out<<1 | (poly+1)<<4 | pre_median<<8
+      3: poly_trim   4: adapter_trimmed
+      5 + c*6 ... : per slot (out_lo, out_hi, mask_lo, mask_hi, misc,
+                    region_no) where misc = code | tag<<6 | passed<<8 |
+                    is_parent<<9 | active<<10 | post_median<<11
+      5 + cap*6 ...: adapter_recs per stage
+    """
+    inner_jit, stages = build_step(opt)
+    inner = inner_jit.__wrapped__
+    cap = out_cap(opt)
+    n_stages = len(stages)
+
+    def fast(state, packed_in, lens, read_mask):
+        B = lens.shape[0]
+        L = packed_in.shape[1] // 2
+        bases = packed_in[:, :L]
+        quals = packed_in[:, L:]
+        out = inner(bases, quals, lens, read_mask)
+
+        state = {"pre": _acc(state["pre"], out["pre"]),
+                 "post": state["post"]}
+        for post in out["posts"]:
+            state["post"] = _acc(state["post"], post)
+
+        cols = [out["lo"], out["hi"]]
+        flags = (out["null"].astype(jnp.int32)
+                 | (out["n_out"] << 1)
+                 | ((out["poly"] + 1) << 4)
+                 | (out["pre"]["median"].astype(jnp.int32) << 8))
+        cols += [flags, out["poly_trim"], out["adapter_trimmed"]]
+        for c in range(cap):
+            misc = (out["code"][:, c]
+                    | (out["out_tag"][:, c] << 6)
+                    | (out["passed"][:, c].astype(jnp.int32) << 8)
+                    | (out["is_parent"][:, c].astype(jnp.int32) << 9)
+                    | (out["active"][:, c].astype(jnp.int32) << 10)
+                    | (out["posts"][c]["median"].astype(jnp.int32) << 11))
+            cols += [out["out_lo"][:, c], out["out_hi"][:, c],
+                     out["mask_lo"][:, c], out["mask_hi"][:, c],
+                     misc, out["region_no"][:, c]]
+        for si in range(n_stages):
+            cols.append(out["adapter_recs"][:, si])
+        packed_out = jnp.stack(cols, axis=1)
+        return state, packed_out
+
+    return jax.jit(fast, donate_argnums=0), stages

@@ -22,8 +22,9 @@ from ..stats import Stats
 from ..filter_result import FilterResult
 from ..util import loginfo
 from .batches import make_batches
-from .device import build_step, out_cap, TAG_NONE, TAG_SPLIT_LEFT, \
+from .device import build_fast_step, out_cap, TAG_NONE, TAG_SPLIT_LEFT, \
     TAG_SPLIT_RIGHT
+from .fast_runner import PackedResults, DeviceStats
 
 _NL = b"\n"
 _TAG_BYTES = {TAG_SPLIT_LEFT: b"split-by-adapter-left-",
@@ -57,7 +58,7 @@ class BlockResults:
         m = indices >= 0
         idx = indices[m]
         for name in ("lo", "hi", "null", "n_out", "active") + _SLOT_FIELDS:
-            getattr(self, name)[idx] = out[name][m]
+            getattr(self, name)[idx] = getattr(out, name)[m]
 
 
 class SingleEndRunner:
@@ -66,9 +67,10 @@ class SingleEndRunner:
         self.pre_stats = Stats(is_rna=opt.is_rna)
         self.post_stats = Stats(is_rna=opt.is_rna)
         self.filter_result = FilterResult()
-        self.step, self.stages = build_step(opt)
+        self.step, self.stages = build_fast_step(opt)
         self.cap = out_cap(opt)
         self.mask_enabled = opt.mask.enabled
+        self.device_stats = DeviceStats()
         self.out_writer = None
         self.failed_writer = None
 
@@ -123,6 +125,12 @@ class SingleEndRunner:
         if self.failed_writer:
             self.failed_writer.close()
 
+        pre_parts, post_parts = self.device_stats.finish()
+        for part in pre_parts:
+            self.pre_stats.add_device_partial(part)
+        for part in post_parts:
+            self.post_stats.add_device_partial(part)
+
         self.pre_stats.summarize()
         self.pre_stats.calc_length_histogram()
         self.post_stats.summarize()
@@ -134,43 +142,53 @@ class SingleEndRunner:
     def _process_block(self, block):
         res = BlockResults(block.n, self.cap)
         for batch in make_batches(block):
-            out = self.step(jax.numpy.asarray(batch.bases),
-                            jax.numpy.asarray(batch.quals),
-                            jax.numpy.asarray(batch.lens),
-                            jax.numpy.asarray(batch.read_mask))
-            out = jax.tree.map(np.asarray, out)
+            L = batch.bases.shape[1]
+            packed_in = np.concatenate([batch.bases, batch.quals], axis=1)
+            state = self.device_stats.get(L)
+            state, packed_out = self.step(
+                state, jax.numpy.asarray(packed_in),
+                jax.numpy.asarray(batch.lens),
+                jax.numpy.asarray(batch.read_mask))
+            self.device_stats.put(L, state)
+            out = PackedResults(np.asarray(packed_out), self.cap,
+                                len(self.stages))
             order = np.where(batch.indices >= 0,
                              block.first_index + batch.indices, 1 << 60)
-            self._accumulate(out, order)
+            self._accumulate(out, batch, order)
             res.scatter(batch.indices, out)
         self._emit(block, res)
 
-    def _accumulate(self, out, order):
-        cap = len(out["posts"])
-        self.pre_stats.add_batch(out["pre"], order)
-        for ci, post in enumerate(out["posts"]):
+    def _accumulate(self, out, batch, order):
+        cap = self.cap
+        read_mask = batch.read_mask
+        self.pre_stats.add_read_level(
+            np.where(read_mask, batch.lens, 0), out.pre_median, read_mask,
+            order)
+        for ci in range(cap):
             # sub-reads of one input read keep slot order within the read
-            self.post_stats.add_batch(post, order * cap + ci)
-        active = out["active"]
-        codes = out["code"][active]
+            self.post_stats.add_read_level(
+                out.out_hi[:, ci] - out.out_lo[:, ci], out.post_median[:, ci],
+                out.passed[:, ci], order * cap + ci)
+        active = out.active
+        codes = out.code[active]
         if len(codes):
             self.filter_result.add_filter_results(codes)
-        live = ~out["null"]
-        poly = out["poly"]
+        live = ~out.null
+        poly = out.poly
         pm = live & (poly >= 0)
         if pm.any():
             for b in range(4):
                 sel = pm & (poly == b)
                 if sel.any():
                     self.filter_result.add_polyx_trimmed(
-                        b, int(out["poly_trim"][sel].sum()), int(sel.sum()))
+                        b, int(out.poly_trim[sel].sum()), int(sel.sum()))
         # adapter bookkeeping (addReadTrimmed + per-sequence counts)
-        at = out["adapter_trimmed"]
+        at = out.adapter_trimmed
         tm = live & (at > 0)
         if tm.any():
             self.filter_result.trimmed_adapter_reads += int(tm.sum())
             self.filter_result.trimmed_adapter_bases += int(at[tm].sum())
-        recs = out["adapter_recs"]
+        recs = out.adapter_recs
         if recs.size:
             for si, (seq, side) in enumerate(self.stages):
                 col = recs[:, si]

@@ -72,13 +72,8 @@ class Stats:
             setattr(self, name, buf)
         self.buf_len = new_len
 
-    def add_batch(self, partial, order=None):
-        """Accumulate a stat_batch() result dict (host numpy arrays).
-
-        order: optional int64 per-row global input ordinal; used to make the
-        median-qual/length pair listing match the reference's single-thread
-        insertion order in the HTML density plot.
-        """
+    def add_device_partial(self, partial):
+        """Accumulate device tensors (cycle arrays, qual hist, kmer)."""
         L = partial["cycle_total_base"].shape[0]
         self._ensure(L)
         self.cycle_q20[:, :L] += partial["cycle_q20"]
@@ -89,16 +84,24 @@ class Stats:
         self.cycle_total_qual[:L] += partial["cycle_total_qual"]
         self.base_qual_hist += partial["base_qual_hist"]
         self.kmer += partial["kmer"]
+        self.summarized = False
 
-        rlen = np.asarray(partial["rlen"])
-        median = np.asarray(partial["median"])
+    def add_read_level(self, rlen, median, read_mask, order=None):
+        """Accumulate per-read records (lengths, median-quality stats).
+
+        order: optional int64 per-row global input ordinal; used to make the
+        median-qual/length pair listing match the reference's single-thread
+        insertion order in the HTML density plot.
+        """
+        rlen = np.asarray(rlen)
+        median = np.asarray(median)
+        mask = np.asarray(read_mask).astype(bool)
+        rlen = np.where(mask, rlen, 0)
         live = rlen > 0
         # reads with rlen == 0 still count as reads (statRead always runs),
         # but medians are only recorded for len > 0 (stats.cpp:351-370)
-        nreads = int(partial["reads"])
-        self.reads += nreads
+        self.reads += int(mask.sum())
         self.length_sum += int(rlen.sum())
-        mask = np.asarray(partial["read_mask"]).astype(bool)
         self._length_chunks.append(rlen[mask].copy())
         med = median[live]
         ln = rlen[live]
@@ -109,6 +112,12 @@ class Stats:
         self._qual_len_chunks.append((med.copy(), ln.copy(),
                                       np.asarray(order)[live].copy()))
         self.summarized = False
+
+    def add_batch(self, partial, order=None):
+        """Accumulate a full stat_batch() result dict (host numpy arrays)."""
+        self.add_device_partial(partial)
+        self.add_read_level(partial["rlen"], partial["median"],
+                            partial["read_mask"], order)
 
     # ------------------------------------------------------------- summarize
 
