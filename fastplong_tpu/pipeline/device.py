@@ -352,11 +352,25 @@ def packed_fields(opt):
     return 5, cap, n_stages
 
 
-def build_fast_step(opt):
-    """Returns (jitted fn(state, packed_in, lens, mask) ->
-    (state', packed_out), stages).
+def pack_input(bases, quals, lens, read_mask):
+    """Host-side: one [B, 2L+8] uint8 array = bases||quals||lens(le)||mask.
 
-    packed_in: [B, 2L] uint8 (bases || quals).
+    A single h2d transfer per batch (each extra array costs an RTT)."""
+    import numpy as np
+    B, L = bases.shape
+    out = np.empty((B, 2 * L + 8), np.uint8)
+    out[:, :L] = bases
+    out[:, L:2 * L] = quals
+    out[:, 2 * L:2 * L + 4] = lens.astype("<i4").view(np.uint8).reshape(B, 4)
+    out[:, 2 * L + 4] = read_mask.astype(np.uint8)
+    out[:, 2 * L + 5:] = 0
+    return out
+
+
+def build_fast_step(opt):
+    """Returns (jitted fn(state, packed_in) -> (state', packed_out), stages).
+
+    packed_in: [B, 2L+8] uint8 from pack_input().
     packed_out: [B, F] int32 with layout
       0: lo   1: hi
       2: flags = null | n_out<<1 | (poly+1)<<4 | pre_median<<8
@@ -371,11 +385,15 @@ def build_fast_step(opt):
     cap = out_cap(opt)
     n_stages = len(stages)
 
-    def fast(state, packed_in, lens, read_mask):
-        B = lens.shape[0]
-        L = packed_in.shape[1] // 2
+    def fast(state, packed_in):
+        # packed_in: [B, 2L+8] uint8 = bases || quals || lens(le32) || mask
+        B = packed_in.shape[0]
+        L = (packed_in.shape[1] - 8) // 2
         bases = packed_in[:, :L]
-        quals = packed_in[:, L:]
+        quals = packed_in[:, L:2 * L]
+        lb = packed_in[:, 2 * L:2 * L + 4].astype(jnp.int32)
+        lens = lb[:, 0] | (lb[:, 1] << 8) | (lb[:, 2] << 16) | (lb[:, 3] << 24)
+        read_mask = packed_in[:, 2 * L + 4] != 0
         out = inner(bases, quals, lens, read_mask)
 
         state = {"pre": _acc(state["pre"], out["pre"]),

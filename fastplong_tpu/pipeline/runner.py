@@ -22,8 +22,8 @@ from ..stats import Stats
 from ..filter_result import FilterResult
 from ..util import loginfo
 from .batches import make_batches
-from .device import build_fast_step, out_cap, TAG_NONE, TAG_SPLIT_LEFT, \
-    TAG_SPLIT_RIGHT
+from .device import build_fast_step, pack_input, out_cap, TAG_NONE, \
+    TAG_SPLIT_LEFT, TAG_SPLIT_RIGHT
 from .fast_runner import PackedResults, DeviceStats
 
 _NL = b"\n"
@@ -141,15 +141,18 @@ class SingleEndRunner:
 
     def _process_block(self, block):
         res = BlockResults(block.n, self.cap)
+        # dispatch every batch asynchronously first (transfers and compute
+        # overlap in flight), then fetch results in order
+        in_flight = []
         for batch in make_batches(block):
             L = batch.bases.shape[1]
-            packed_in = np.concatenate([batch.bases, batch.quals], axis=1)
+            packed_in = pack_input(batch.bases, batch.quals, batch.lens,
+                                   batch.read_mask)
             state = self.device_stats.get(L)
-            state, packed_out = self.step(
-                state, jax.numpy.asarray(packed_in),
-                jax.numpy.asarray(batch.lens),
-                jax.numpy.asarray(batch.read_mask))
+            state, packed_out = self.step(state, jax.numpy.asarray(packed_in))
             self.device_stats.put(L, state)
+            in_flight.append((batch, packed_out))
+        for batch, packed_out in in_flight:
             out = PackedResults(np.asarray(packed_out), self.cap,
                                 len(self.stages))
             order = np.where(batch.indices >= 0,
