@@ -173,6 +173,12 @@ class FastqStreamReader:
                     size += len(c)
                 self._pending = b"".join(parts)
             buf = self._pending
+            # native fast path: perfectly-regular 4-line records parsed in
+            # one C scan; anything irregular falls back to the tolerant
+            # vectorized parser below
+            nb = self._try_native(buf)
+            if nb is not None:
+                return nb
             starts, ends, consumed = _parse_lines(buf, self._eof)
             if len(starts) == 0:
                 if self._eof:
@@ -199,6 +205,31 @@ class FastqStreamReader:
                 target = len(self._pending) + CHUNK
                 continue
             return block
+
+    def _try_native(self, buf):
+        """Attempt the native regular-record parse; None -> fall back."""
+        try:
+            from ..native import parse_fastq
+        except Exception:
+            return None
+        res = parse_fastq(buf, self.max_records)
+        if res is None:
+            return None
+        arrs, consumed, ok, n = res
+        if n == 0 or consumed == 0:
+            return None
+        if not ok and n == 0:
+            return None
+        (name_off, name_len, seq_off, seq_len,
+         strand_off, strand_len, qual_off) = arrs
+        block = RecordBlock(
+            buf, np.frombuffer(buf, np.uint8),
+            name_off, name_len, seq_off, seq_len,
+            strand_off, strand_len, qual_off,
+            first_index=self._records_out)
+        self._records_out += block.n
+        self._pending = buf[consumed:]
+        return block
 
     def _assemble(self, buf, starts, ends):
         """Group lines into records. Returns (RecordBlock|None, lines_used, stop)."""

@@ -1,0 +1,118 @@
+"""Native host library loader.
+
+Compiles host_io.cpp on first use (g++, links system libdeflate) and exposes
+ctypes bindings.  Every consumer has a pure-numpy fallback, so a missing
+toolchain degrades performance, never correctness.
+"""
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_HERE, "libfplhost.so")
+_SRC = os.path.join(_HERE, "host_io.cpp")
+
+_lib = None
+_tried = False
+
+
+def _build():
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
+           "-o", _SO + ".tmp", "-ldeflate"]
+    try:
+        r = subprocess.run(cmd, capture_output=True, timeout=120)
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+    if r.returncode != 0:
+        sys.stderr.write("fastplong-tpu: native build failed, using python "
+                         "fallback\n")
+        return False
+    os.replace(_SO + ".tmp", _SO)
+    return True
+
+
+def get_lib():
+    """Returns the ctypes library or None."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO) or (os.path.exists(_SRC) and
+                                   os.path.getmtime(_SRC) > os.path.getmtime(_SO)):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.fpl_parse_fastq.restype = ctypes.c_int64
+    lib.fpl_parse_fastq.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        i64p, i64p, i64p, i64p, i64p, i64p, i64p,
+        i64p, ctypes.POINTER(ctypes.c_int)]
+    lib.fpl_pack_batch.restype = None
+    lib.fpl_pack_batch.argtypes = [
+        ctypes.c_char_p, i64p, i64p, i64p, i64p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
+    lib.fpl_gzip_bound.restype = ctypes.c_size_t
+    lib.fpl_gzip_bound.argtypes = [ctypes.c_size_t, ctypes.c_int]
+    lib.fpl_gzip_compress.restype = ctypes.c_size_t
+    lib.fpl_gzip_compress.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.c_int]
+    _lib = lib
+    return _lib
+
+
+def _as_i64_ptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def parse_fastq(buf: bytes, max_records: int):
+    """Native fast-path parse. Returns (arrays..., consumed, ok) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    arrs = [np.empty(max_records, np.int64) for _ in range(7)]
+    consumed = ctypes.c_int64(0)
+    ok = ctypes.c_int(0)
+    n = lib.fpl_parse_fastq(
+        buf, len(buf), max_records,
+        *[_as_i64_ptr(a) for a in arrs], ctypes.byref(consumed),
+        ctypes.byref(ok))
+    return ([a[:n] for a in arrs], int(consumed.value), bool(ok.value), int(n))
+
+
+def pack_batch(arr_bytes, seq_off, seq_len, qual_off, indices, L, out_rows):
+    """Native packed-batch fill. Returns uint8 [out_rows, 2L+8] or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty((out_rows, 2 * L + 8), np.uint8)
+    lib.fpl_pack_batch(
+        arr_bytes, _as_i64_ptr(np.ascontiguousarray(seq_off)),
+        _as_i64_ptr(np.ascontiguousarray(seq_len)),
+        _as_i64_ptr(np.ascontiguousarray(qual_off)),
+        _as_i64_ptr(np.ascontiguousarray(indices.astype(np.int64))),
+        len(indices), L, out.ctypes.data_as(ctypes.c_void_p), out_rows)
+    return out
+
+
+def gzip_compress(data: bytes, level: int):
+    """Native libdeflate gzip member. Returns bytes or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    bound = lib.fpl_gzip_bound(len(data), level)
+    if not bound:
+        return None
+    out = ctypes.create_string_buffer(bound)
+    n = lib.fpl_gzip_compress(data, len(data), out, bound, level)
+    if not n:
+        return None
+    return out.raw[:n]

@@ -1,0 +1,139 @@
+// Native host-side hot loops for fastplong-tpu.
+//
+// The TPU compute path is JAX/Pallas; these are the host runtime pieces the
+// reference implements natively (FASTQ scan, batch packing, gzip member
+// compression via libdeflate — reference src/fastqreader.cpp,
+// src/writer.cpp) exposed through a plain C ABI for ctypes.
+//
+// Build: g++ -O3 -march=native -shared -fPIC host_io.cpp -o libfplhost.so -ldeflate
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+
+extern "C" {
+
+struct libdeflate_compressor;
+libdeflate_compressor* libdeflate_alloc_compressor(int level);
+void libdeflate_free_compressor(libdeflate_compressor*);
+size_t libdeflate_gzip_compress_bound(libdeflate_compressor*, size_t);
+size_t libdeflate_gzip_compress(libdeflate_compressor*, const void*, size_t,
+                                void*, size_t);
+
+// ---------------------------------------------------------------- parsing
+
+// Scans `buf[0..n)` for 4-line FASTQ records (fast path: perfectly regular
+// records, name starts '@', strand starts '+', len(qual)==len(seq)).
+// Fills the five int64 offset arrays (capacity `max_records`).
+// Returns the number of records parsed; *consumed is the byte offset after
+// the last full record; *ok is 0 if an irregularity was found (caller
+// falls back to the tolerant Python parser).
+int64_t fpl_parse_fastq(const uint8_t* buf, int64_t n, int64_t max_records,
+                        int64_t* name_off, int64_t* name_len,
+                        int64_t* seq_off, int64_t* seq_len,
+                        int64_t* strand_off, int64_t* strand_len,
+                        int64_t* qual_off,
+                        int64_t* consumed, int* ok) {
+    int64_t count = 0;
+    int64_t pos = 0;
+    *ok = 1;
+    while (count < max_records) {
+        if (pos >= n) break;
+        // name line
+        const uint8_t* p = (const uint8_t*)memchr(buf + pos, '\n', n - pos);
+        if (!p) break;
+        int64_t name_end = p - buf;
+        if (buf[pos] != '@') { *ok = 0; break; }
+        int64_t nlen = name_end - pos;
+        if (nlen > 0 && buf[name_end - 1] == '\r') nlen--;
+        int64_t s_off = name_end + 1;
+        // sequence line
+        p = (const uint8_t*)memchr(buf + s_off, '\n', n - s_off);
+        if (!p) break;
+        int64_t seq_end = p - buf;
+        int64_t slen = seq_end - s_off;
+        if (slen > 0 && buf[seq_end - 1] == '\r') slen--;
+        int64_t t_off = seq_end + 1;
+        // strand line
+        if (t_off >= n) break;
+        p = (const uint8_t*)memchr(buf + t_off, '\n', n - t_off);
+        if (!p) break;
+        int64_t strand_end = p - buf;
+        if (buf[t_off] != '+') { *ok = 0; break; }
+        int64_t tlen = strand_end - t_off;
+        if (tlen > 0 && buf[strand_end - 1] == '\r') tlen--;
+        int64_t q_off = strand_end + 1;
+        // quality line
+        if (q_off >= n) break;
+        p = (const uint8_t*)memchr(buf + q_off, '\n', n - q_off);
+        if (!p) break;
+        int64_t qual_end = p - buf;
+        int64_t qlen = qual_end - q_off;
+        if (qlen > 0 && buf[qual_end - 1] == '\r') qlen--;
+        if (qlen != slen) { *ok = 0; break; }
+
+        name_off[count] = pos;   name_len[count] = nlen;
+        seq_off[count] = s_off;  seq_len[count] = slen;
+        strand_off[count] = t_off; strand_len[count] = tlen;
+        qual_off[count] = q_off;
+        count++;
+        pos = qual_end + 1;
+    }
+    *consumed = pos;
+    return count;
+}
+
+// ---------------------------------------------------------------- packing
+
+// Fills one packed device batch row-set: out[k, :] for k in [0, take_n)
+// gets bases||quals||len(le32)||mask of record indices[k]; remaining rows
+// stay zero.  out has row stride (2*L + 8).
+void fpl_pack_batch(const uint8_t* buf,
+                    const int64_t* seq_off, const int64_t* seq_len,
+                    const int64_t* qual_off,
+                    const int64_t* indices, int64_t take_n,
+                    int64_t L, uint8_t* out, int64_t out_rows) {
+    const int64_t stride = 2 * L + 8;
+    memset(out, 0, (size_t)(stride * out_rows));
+    for (int64_t k = 0; k < take_n; k++) {
+        int64_t i = indices[k];
+        int64_t sl = seq_len[i];
+        if (sl > L) sl = L;
+        uint8_t* row = out + k * stride;
+        memcpy(row, buf + seq_off[i], (size_t)sl);
+        memcpy(row + L, buf + qual_off[i], (size_t)sl);
+        uint32_t len32 = (uint32_t)sl;
+        memcpy(row + 2 * L, &len32, 4);
+        row[2 * L + 4] = 1;
+    }
+}
+
+// ------------------------------------------------------------- compression
+
+// Compresses data into one independent gzip member.  Returns compressed
+// size, or 0 on failure.  out must have capacity >= fpl_gzip_bound(n).
+static thread_local libdeflate_compressor* g_comp = nullptr;
+static thread_local int g_level = -1;
+
+size_t fpl_gzip_bound(size_t n, int level) {
+    if (!g_comp || g_level != level) {
+        if (g_comp) libdeflate_free_compressor(g_comp);
+        g_comp = libdeflate_alloc_compressor(level);
+        g_level = level;
+    }
+    if (!g_comp) return 0;
+    return libdeflate_gzip_compress_bound(g_comp, n);
+}
+
+size_t fpl_gzip_compress(const void* data, size_t n, void* out,
+                         size_t out_cap, int level) {
+    if (!g_comp || g_level != level) {
+        if (g_comp) libdeflate_free_compressor(g_comp);
+        g_comp = libdeflate_alloc_compressor(level);
+        g_level = level;
+    }
+    if (!g_comp) return 0;
+    return libdeflate_gzip_compress(g_comp, data, n, out, out_cap);
+}
+
+}  // extern "C"

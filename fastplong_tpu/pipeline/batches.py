@@ -31,15 +31,18 @@ def batch_rows(L: int) -> int:
 
 
 class Batch:
-    __slots__ = ("bases", "quals", "lens", "read_mask", "indices", "block")
+    __slots__ = ("packed", "lens", "read_mask", "indices", "block")
 
-    def __init__(self, bases, quals, lens, read_mask, indices, block):
-        self.bases = bases          # [B, L] uint8
-        self.quals = quals          # [B, L] uint8
+    def __init__(self, packed, lens, read_mask, indices, block):
+        self.packed = packed        # [B, 2L+8] uint8 (bases||quals||len||mask)
         self.lens = lens            # [B] int32
         self.read_mask = read_mask  # [B] bool
         self.indices = indices      # [B] int64 record index within block (-1 pad)
         self.block = block          # source RecordBlock
+
+    @property
+    def L(self):
+        return (self.packed.shape[1] - 8) // 2
 
 
 def make_batches(block):
@@ -71,8 +74,6 @@ def make_batches(block):
 def _pack(block, take, L, rows):
     B = max(rows, len(take))
     k = len(take)
-    bases = np.zeros((B, L), np.uint8)
-    quals = np.zeros((B, L), np.uint8)
     lens = np.zeros(B, np.int32)
     read_mask = np.zeros(B, bool)
     indices = np.full(B, -1, np.int64)
@@ -82,11 +83,24 @@ def _pack(block, take, L, rows):
     read_mask[:k] = True
     indices[:k] = take
 
-    # vectorized gather: flat source indices for each (row, col)
-    col = np.arange(L, dtype=np.int64)
-    src_b = block.seq_off[take][:, None] + col[None, :]
-    src_q = block.qual_off[take][:, None] + col[None, :]
-    valid = col[None, :] < sl[:, None]
-    np.copyto(bases[:k], block.arr[np.where(valid, src_b, 0)], where=valid)
-    np.copyto(quals[:k], block.arr[np.where(valid, src_q, 0)], where=valid)
-    return Batch(bases, quals, lens, read_mask, indices, block)
+    # native row-copy fill of the packed [B, 2L+8] device feed
+    try:
+        from ..native import pack_batch
+        packed = pack_batch(block.buf, block.seq_off, block.seq_len,
+                            block.qual_off, take, L, B)
+    except Exception:
+        packed = None
+    if packed is None:
+        packed = np.zeros((B, 2 * L + 8), np.uint8)
+        col = np.arange(L, dtype=np.int64)
+        src_b = block.seq_off[take][:, None] + col[None, :]
+        src_q = block.qual_off[take][:, None] + col[None, :]
+        valid = col[None, :] < sl[:, None]
+        np.copyto(packed[:k, :L], block.arr[np.where(valid, src_b, 0)],
+                  where=valid)
+        np.copyto(packed[:k, L:2 * L], block.arr[np.where(valid, src_q, 0)],
+                  where=valid)
+        packed[:k, 2 * L:2 * L + 4] = lens[:k].astype("<i4").view(
+            np.uint8).reshape(k, 4)
+        packed[:k, 2 * L + 4] = 1
+    return Batch(packed, lens, read_mask, indices, block)

@@ -22,7 +22,7 @@ from ..stats import Stats
 from ..filter_result import FilterResult
 from ..util import loginfo
 from .batches import make_batches
-from .device import build_fast_step, pack_input, out_cap, TAG_NONE, \
+from .device import build_fast_step, out_cap, TAG_NONE, \
     TAG_SPLIT_LEFT, TAG_SPLIT_RIGHT
 from .fast_runner import PackedResults, DeviceStats
 
@@ -145,12 +145,10 @@ class SingleEndRunner:
         # overlap in flight), then fetch results in order
         in_flight = []
         for batch in make_batches(block):
-            L = batch.bases.shape[1]
-            packed_in = pack_input(batch.bases, batch.quals, batch.lens,
-                                   batch.read_mask)
-            state = self.device_stats.get(L)
-            state, packed_out = self.step(state, jax.numpy.asarray(packed_in))
-            self.device_stats.put(L, state)
+            state = self.device_stats.get(batch.L)
+            state, packed_out = self.step(state,
+                                          jax.numpy.asarray(batch.packed))
+            self.device_stats.put(batch.L, state)
             in_flight.append((batch, packed_out))
         for batch, packed_out in in_flight:
             out = PackedResults(np.asarray(packed_out), self.cap,
