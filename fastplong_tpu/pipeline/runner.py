@@ -101,6 +101,7 @@ class SingleEndRunner:
 
         processed = 0
         last_reported = 0
+        pending = []  # dispatched blocks not yet drained (1-block lookahead)
         while True:
             block = reader.next_block()
             if block is None:
@@ -115,7 +116,11 @@ class SingleEndRunner:
             if opt.verbose and processed >= last_reported + 1000000:
                 last_reported = processed
                 loginfo("loaded %dM reads" % (last_reported // 1000000))
-            self._process_block(block)
+            pending.append(self._dispatch_block(block))
+            while len(pending) > 1:
+                self._drain_block(*pending.pop(0))
+        while pending:
+            self._drain_block(*pending.pop(0))
         reader.close()
 
         if self.split_set is not None:
@@ -139,10 +144,9 @@ class SingleEndRunner:
 
     # ---------------------------------------------------------------- block
 
-    def _process_block(self, block):
-        res = BlockResults(block.n, self.cap)
-        # dispatch every batch asynchronously first (transfers and compute
-        # overlap in flight), then fetch results in order
+    def _dispatch_block(self, block):
+        """Dispatch every batch of the block asynchronously (transfers and
+        compute overlap in flight); results are drained later in order."""
         in_flight = []
         for batch in make_batches(block):
             state = self.device_stats.get(batch.L)
@@ -150,6 +154,10 @@ class SingleEndRunner:
                                           jax.numpy.asarray(batch.packed))
             self.device_stats.put(batch.L, state)
             in_flight.append((batch, packed_out))
+        return block, in_flight
+
+    def _drain_block(self, block, in_flight):
+        res = BlockResults(block.n, self.cap)
         for batch, packed_out in in_flight:
             out = PackedResults(np.asarray(packed_out), self.cap,
                                 len(self.stages))
@@ -158,6 +166,9 @@ class SingleEndRunner:
             self._accumulate(out, batch, order)
             res.scatter(batch.indices, out)
         self._emit(block, res)
+
+    def _process_block(self, block):
+        self._drain_block(*self._dispatch_block(block))
 
     def _accumulate(self, out, batch, order):
         cap = self.cap
