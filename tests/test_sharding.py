@@ -1,0 +1,67 @@
+"""Multi-chip sharded step: psum-merged stats must equal single-device
+results, and per-read verdicts must be unchanged by sharding."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from fastplong_tpu.config import Options
+from fastplong_tpu.pipeline.device import build_step
+from fastplong_tpu.pipeline.sharding import make_mesh, build_sharded_step
+
+
+def _opts():
+    opt = Options()
+    opt.adapter.sequence_start = "AATGTACTTCGTTCAGTTACGTATTGCT"
+    opt.adapter.sequence_end = "AGCAATACGTAACTGAACGAAGT"
+    opt.quality_cut.enabled_front = True
+    opt.quality_cut.enabled_tail = True
+    opt.polyx_trim.enabled = True
+    return opt
+
+
+def _batch(B, L, seed=0):
+    rng = np.random.default_rng(seed)
+    bases = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=(B, L))
+    quals = rng.integers(33 + 2, 33 + 41, size=(B, L)).astype(np.uint8)
+    lens = rng.integers(L // 2, L + 1, size=B).astype(np.int32)
+    mask = np.ones(B, bool)
+    return bases, quals, lens, mask
+
+
+def test_sharded_equals_single():
+    n_dev = len(jax.devices())
+    assert n_dev >= 8, "conftest should provide 8 virtual CPU devices"
+    opt = _opts()
+    step, _ = build_step(opt)
+    mesh = make_mesh(jax.devices()[:8])
+    sharded, _ = build_sharded_step(opt, mesh)
+
+    B, L = 64, 256
+    bases, quals, lens, mask = _batch(B, L)
+    ref = jax.tree.map(np.asarray, step(
+        jnp.asarray(bases), jnp.asarray(quals), jnp.asarray(lens),
+        jnp.asarray(mask)))
+
+    sh = NamedSharding(mesh, P("data"))
+    args = tuple(jax.device_put(jnp.asarray(a), sh)
+                 for a in (bases, quals, lens, mask))
+    got = jax.tree.map(np.asarray, sharded(*args))
+
+    # per-read verdicts identical
+    for k in ("lo", "hi", "null", "code", "passed", "out_lo", "out_hi",
+              "poly", "poly_trim", "adapter_trimmed"):
+        np.testing.assert_array_equal(ref[k], got[k], err_msg=k)
+
+    # psum-merged stats equal the single-device totals
+    for k in ("cycle_q20", "cycle_content", "cycle_total_base",
+              "base_qual_hist", "kmer", "reads", "bases"):
+        np.testing.assert_array_equal(ref["pre"][k], got["pre"][k],
+                                      err_msg="pre." + k)
+        for ci in range(len(ref["posts"])):
+            np.testing.assert_array_equal(
+                ref["posts"][ci][k], got["posts"][ci][k],
+                err_msg="post%d.%s" % (ci, k))
