@@ -72,9 +72,10 @@ def build_sharded_step(opt, mesh, axis="data"):
 
     out_specs = jax.tree_util.tree_map_with_path(spec_of, out_sd)
 
-    fn = shard_map(
-        sharded, mesh=mesh,
-        in_specs=(dp, dp, dp, dp),
-        out_specs=out_specs,
-        check_rep=False)
+    try:
+        fn = shard_map(sharded, mesh=mesh, in_specs=(dp, dp, dp, dp),
+                       out_specs=out_specs, check_vma=False)
+    except TypeError:
+        fn = shard_map(sharded, mesh=mesh, in_specs=(dp, dp, dp, dp),
+                       out_specs=out_specs, check_rep=False)
     return jax.jit(fn), stages
