@@ -10,9 +10,46 @@ Compression of flushed buffers can optionally be fanned out to a thread pool
 runner lives in pipeline/runner.py.
 """
 
+import queue
 import sys
+import threading
 
 from .compression import GzipMemberCompressor
+
+
+class AsyncWriter:
+    """Wraps a Writer with a background thread: compression + file writes
+    overlap the main pipeline, like the reference's writer threads
+    (src/writerthread.cpp).  Bounded queue gives reader back-pressure."""
+
+    def __init__(self, writer, max_queue=16):
+        self._w = writer
+        self._q = queue.Queue(maxsize=max_queue)
+        self._exc = None
+        self._t = threading.Thread(target=self._loop, daemon=True)
+        self._t.start()
+
+    def _loop(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            try:
+                self._w.write(item)
+            except Exception as e:  # surfaced on close
+                self._exc = e
+
+    def write(self, data: bytes):
+        if self._exc:
+            raise self._exc
+        self._q.put(data)
+
+    def close(self):
+        self._q.put(None)
+        self._t.join()
+        self._w.close()
+        if self._exc:
+            raise self._exc
 
 
 class Writer:
