@@ -74,8 +74,12 @@ def main():
     opt = options_from_args(args, argv)
     opt.validate()
 
-    # warm-up run compiles all batch shapes
-    runner = SingleEndRunner(opt)
+    # warm-up run compiles all batch shapes on a truncated pass
+    import copy
+    warm_opt = options_from_args(args, argv)
+    warm_opt.validate()
+    warm_opt.reads_to_process = 2000
+    runner = SingleEndRunner(warm_opt)
     runner.run()
 
     t0 = time.time()

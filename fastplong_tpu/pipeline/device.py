@@ -326,18 +326,25 @@ _STAT_KEYS = ("cycle_q20", "cycle_q30", "cycle_content", "cycle_qual",
               "kmer")
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=0)
 def init_stats_state(L):
-    """Zeroed device-resident accumulators for one bucket length."""
+    """Zeroed device-resident accumulators for one bucket length.
+
+    Jitted as ONE executable per L: building 32 arrays eagerly would cost
+    32 tiny compiles+dispatches through the device link."""
     def z(shape):
         return jnp.zeros(shape, jnp.int32)
-    one_side = {
-        "cycle_q20": z((8, L)), "cycle_q30": z((8, L)),
-        "cycle_content": z((8, L)), "cycle_qual": z((8, L)),
-        "cycle_total_base": z(L), "cycle_total_qual": z(L),
-        "base_qual_hist": z(128), "kmer": z(1024),
-    }
-    return {"pre": dict(one_side),
-            "post": {k: jnp.zeros_like(v) for k, v in one_side.items()}}
+    def side():
+        return {
+            "cycle_q20": z((8, L)), "cycle_q30": z((8, L)),
+            "cycle_content": z((8, L)), "cycle_qual": z((8, L)),
+            "cycle_total_base": z(L), "cycle_total_qual": z(L),
+            "base_qual_hist": z(128), "kmer": z(1024),
+        }
+    return {"pre": side(), "post": side()}
 
 
 def _acc(state_side, partial):
