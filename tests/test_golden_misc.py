@@ -1,0 +1,78 @@
+"""Golden parity for remaining surfaces: RNA input, --reads_to_process,
+gzip output (content equality), report title, thread counts."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from golden_util import (write_random_fastq, assert_parity, run_reference,
+                         run_ours, strip_command)
+
+
+def write_rna_fastq(path, n_reads=200, seed=77):
+    rng = np.random.default_rng(seed)
+    with open(path, "w") as f:
+        for i in range(n_reads):
+            n = int(rng.integers(40, 300))
+            seq = "".join(rng.choice(list("ACGU"), size=n))
+            qual = "".join(chr(int(q))
+                           for q in rng.integers(33 + 3, 33 + 40, size=n))
+            f.write("@r%d\n%s\n+\n%s\n" % (i, seq, qual))
+    return path
+
+
+def test_rna_input(tmp_path):
+    fq = write_rna_fastq(str(tmp_path / "rna.fq"))
+    assert_parity(fq, str(tmp_path), ["-A", "-w", "1"], check_html=True)
+
+
+def test_reads_to_process(tmp_path):
+    fq = write_random_fastq(str(tmp_path / "in.fq"), n_reads=300, seed=88)
+    assert_parity(fq, str(tmp_path), ["-A", "--reads_to_process", "57"])
+
+
+def test_report_title(tmp_path):
+    fq = write_random_fastq(str(tmp_path / "in.fq"), n_reads=60, seed=89)
+    assert_parity(fq, str(tmp_path),
+                  ["-A", "-R", "my custom title", "-w", "1"],
+                  check_html=True)
+
+
+def test_gzip_output_content(tmp_path):
+    """Compressed outputs decompress to identical bytes (member boundaries
+    depend on internal buffering and may differ)."""
+    fq = write_random_fastq(str(tmp_path / "in.fq"), n_reads=250, seed=90)
+    ref_out, ref_failed, ref_json, _ = run_reference(
+        fq, str(tmp_path), ["-A"])
+    # rerun with .gz outputs
+    import subprocess
+    from golden_util import ensure_reference
+    ref = ensure_reference()
+    r = subprocess.run(
+        [ref, "-i", fq, "-o", str(tmp_path / "ref.fq.gz"),
+         "-j", str(tmp_path / "r2.json"), "-h", str(tmp_path / "r2.html"),
+         "-A", "-z", "6"], capture_output=True, timeout=300)
+    assert r.returncode == 0
+    from fastplong_tpu.main import main
+    main(["fastplong", "-i", fq, "-o", str(tmp_path / "my.fq.gz"),
+          "-j", str(tmp_path / "m2.json"), "-h", str(tmp_path / "m2.html"),
+          "-A", "-z", "6"])
+    a = gzip.decompress(open(tmp_path / "ref.fq.gz", "rb").read())
+    b = gzip.decompress(open(tmp_path / "my.fq.gz", "rb").read())
+    assert a == b
+
+
+def test_gzip_input(tmp_path):
+    fq = write_random_fastq(str(tmp_path / "in.fq"), n_reads=250, seed=91)
+    gz = str(tmp_path / "in.fq.gz")
+    with open(fq, "rb") as f_in, gzip.open(gz, "wb") as f_out:
+        f_out.write(f_in.read())
+    assert_parity(gz, str(tmp_path), ["-A"])
+
+
+def test_thread_flag_stats_invariant(tmp_path):
+    """Stats/JSON must not depend on -w (they don't in either impl)."""
+    fq = write_random_fastq(str(tmp_path / "in.fq"), n_reads=200, seed=92)
+    assert_parity(fq, str(tmp_path), ["-A", "-w", "8"])
