@@ -88,12 +88,49 @@ def main():
     dt = time.time() - t0
 
     value = total_bases / dt
+
+    # context: pure device-step throughput on one resident batch (the
+    # end-to-end number above includes host<->device interconnect, which in
+    # tunneled dev environments is orders of magnitude below PCIe)
+    device_rate = _device_step_rate(opt)
     print(json.dumps({
         "metric": "bases_per_second_per_chip",
         "value": round(value, 1),
         "unit": "bases/s",
         "vs_baseline": round(value / BASELINE_BASES_PER_S, 4),
+        "device_step_bases_per_second": round(device_rate, 1),
+        "device_step_vs_baseline": round(device_rate / BASELINE_BASES_PER_S, 4),
     }))
+
+
+def _device_step_rate(opt):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from fastplong_tpu.pipeline.device import build_fast_step, \
+        init_stats_state
+    from fastplong_tpu.pipeline.batches import batch_rows
+    import time as _t
+    step, _ = build_fast_step(opt)
+    L = 8192
+    B = batch_rows(L)
+    rng = np.random.default_rng(0)
+    packed = np.zeros((B, 2 * L + 8), np.uint8)
+    packed[:, :L] = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(B, L))
+    packed[:, L:2 * L] = rng.integers(38, 73, size=(B, L)).astype(np.uint8)
+    packed[:, 2 * L:2 * L + 4] = np.frombuffer(
+        np.full(B, L, "<i4").tobytes(), np.uint8).reshape(B, 4)
+    packed[:, 2 * L + 4] = 1
+    din = jnp.asarray(packed)
+    state = init_stats_state(L)
+    state, out = step(state, din)
+    jax.block_until_ready(out)
+    n = 10
+    t0 = _t.time()
+    for _ in range(n):
+        state, out = step(state, din)
+    jax.block_until_ready(out)
+    return B * L * n / (_t.time() - t0)
 
 
 if __name__ == "__main__":
