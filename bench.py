@@ -107,28 +107,24 @@ def _device_step_rate(opt):
     import numpy as np
     import jax
     import jax.numpy as jnp
-    from fastplong_tpu.pipeline.device import build_fast_step, \
-        init_stats_state
+    from fastplong_tpu.pipeline.device import build_step
     from fastplong_tpu.pipeline.batches import batch_rows
     import time as _t
-    step, _ = build_fast_step(opt)
+    step, _ = build_step(opt)
     L = 8192
     B = batch_rows(L)
     rng = np.random.default_rng(0)
-    packed = np.zeros((B, 2 * L + 8), np.uint8)
-    packed[:, :L] = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(B, L))
-    packed[:, L:2 * L] = rng.integers(38, 73, size=(B, L)).astype(np.uint8)
-    packed[:, 2 * L:2 * L + 4] = np.frombuffer(
-        np.full(B, L, "<i4").tobytes(), np.uint8).reshape(B, 4)
-    packed[:, 2 * L + 4] = 1
-    din = jnp.asarray(packed)
-    state = init_stats_state(L)
-    state, out = step(state, din)
+    bases = jnp.asarray(rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                                   size=(B, L)))
+    quals = jnp.asarray(rng.integers(38, 73, size=(B, L)).astype(np.uint8))
+    lens = jnp.full(B, L, jnp.int32)
+    mask = jnp.ones(B, bool)
+    out = step(bases, quals, lens, mask)
     jax.block_until_ready(out)
     n = 10
     t0 = _t.time()
     for _ in range(n):
-        state, out = step(state, din)
+        out = step(bases, quals, lens, mask)
     jax.block_until_ready(out)
     return B * L * n / (_t.time() - t0)
 

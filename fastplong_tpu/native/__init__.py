@@ -88,19 +88,21 @@ def parse_fastq(buf: bytes, max_records: int):
     return ([a[:n] for a in arrs], int(consumed.value), bool(ok.value), int(n))
 
 
-def pack_batch(arr_bytes, seq_off, seq_len, qual_off, indices, L, out_rows):
-    """Native packed-batch fill. Returns uint8 [out_rows, 2L+8] or None."""
+def pack_batch_into(out, row_offset, arr_bytes, seq_off, seq_len, qual_off,
+                    indices, L):
+    """Native packed-batch fill into out[row_offset:...]. Returns False if
+    the native lib is unavailable."""
     lib = get_lib()
     if lib is None:
-        return None
-    out = np.empty((out_rows, 2 * L + 8), np.uint8)
+        return False
+    ptr = out.ctypes.data + row_offset * out.shape[1]
     lib.fpl_pack_batch(
         arr_bytes, _as_i64_ptr(np.ascontiguousarray(seq_off)),
         _as_i64_ptr(np.ascontiguousarray(seq_len)),
         _as_i64_ptr(np.ascontiguousarray(qual_off)),
         _as_i64_ptr(np.ascontiguousarray(indices.astype(np.int64))),
-        len(indices), L, out.ctypes.data_as(ctypes.c_void_p), out_rows)
-    return out
+        len(indices), L, ctypes.c_void_p(ptr), out.shape[0] - row_offset)
+    return True
 
 
 def gzip_compress(data: bytes, level: int):

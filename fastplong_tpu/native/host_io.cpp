@@ -85,16 +85,17 @@ int64_t fpl_parse_fastq(const uint8_t* buf, int64_t n, int64_t max_records,
 
 // ---------------------------------------------------------------- packing
 
-// Fills one packed device batch row-set: out[k, :] for k in [0, take_n)
-// gets bases||quals||len(le32)||mask of record indices[k]; remaining rows
-// stay zero.  out has row stride (2*L + 8).
+// Fills packed device batch rows: out[k, :] for k in [0, take_n) gets
+// bases||quals||len(le32)||mask of record indices[k].  The caller provides
+// a zeroed buffer (rows can be filled incrementally at an offset via the
+// out pointer).  out has row stride (2*L + 8).
 void fpl_pack_batch(const uint8_t* buf,
                     const int64_t* seq_off, const int64_t* seq_len,
                     const int64_t* qual_off,
                     const int64_t* indices, int64_t take_n,
                     int64_t L, uint8_t* out, int64_t out_rows) {
     const int64_t stride = 2 * L + 8;
-    memset(out, 0, (size_t)(stride * out_rows));
+    (void)out_rows;
     for (int64_t k = 0; k < take_n; k++) {
         int64_t i = indices[k];
         int64_t sl = seq_len[i];

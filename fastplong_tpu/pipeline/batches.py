@@ -1,12 +1,14 @@
 """Padded batch construction with length bucketing.
 
-RecordBlocks are columnar (bytes + offsets); this module packs groups of
-records into fixed-shape [B, L] uint8 device feeds.  Reads are grouped by
-length bucket so padding waste stays bounded, and batch shapes are drawn
-from a small fixed set so jit caches stay warm.
+RecordBlocks are columnar (bytes + offsets); this module packs reads into
+fixed-shape [B, 2L+8] uint8 device feeds (bases || quals || len || mask
+per row).  Reads are grouped by length bucket so padding stays bounded, and
+batch shapes are canonical — one (B, L) pair per bucket — because every new
+shape costs an XLA compile.
 
-The packing gather itself is vectorized numpy (one fancy-index per batch),
-not a per-read Python loop.
+BatchBuilder accumulates reads ACROSS RecordBlocks until a batch is full,
+so partially-filled batches only occur at end of input; the runner tracks
+per-block completion to keep output in input order.
 """
 
 import numpy as np
@@ -30,77 +32,119 @@ def batch_rows(L: int) -> int:
     return int(min(MAX_BATCH_READS, b))
 
 
-class Batch:
-    __slots__ = ("packed", "lens", "read_mask", "indices", "block")
+class Segment:
+    """A run of batch rows belonging to one RecordBlock."""
 
-    def __init__(self, packed, lens, read_mask, indices, block):
-        self.packed = packed        # [B, 2L+8] uint8 (bases||quals||len||mask)
+    __slots__ = ("block", "indices", "row_start")
+
+    def __init__(self, block, indices, row_start):
+        self.block = block
+        self.indices = indices      # record indices within the block
+        self.row_start = row_start  # first batch row of this run
+
+
+class Batch:
+    __slots__ = ("packed", "lens", "read_mask", "segments", "L")
+
+    def __init__(self, packed, lens, read_mask, segments, L):
+        self.packed = packed        # [B, 2L+8] uint8
         self.lens = lens            # [B] int32
         self.read_mask = read_mask  # [B] bool
-        self.indices = indices      # [B] int64 record index within block (-1 pad)
-        self.block = block          # source RecordBlock
+        self.segments = segments
+        self.L = L
+
+
+class BatchBuilder:
+    def __init__(self, L):
+        self.L = L
+        self.rows = batch_rows(L)
+        self._reset()
+
+    def _reset(self):
+        stride = 2 * self.L + 8
+        self.packed = np.zeros((self.rows, stride), np.uint8)
+        self.lens = np.zeros(self.rows, np.int32)
+        self.read_mask = np.zeros(self.rows, bool)
+        self.segments = []
+        self.count = 0
 
     @property
-    def L(self):
-        return (self.packed.shape[1] - 8) // 2
+    def space(self):
+        return self.rows - self.count
+
+    @property
+    def full(self):
+        return self.count >= self.rows
+
+    def add(self, block, take):
+        """Fill rows with records `take` (indices into block); take must
+        fit in the remaining space."""
+        k = len(take)
+        r0 = self.count
+        filled = False
+        try:
+            from ..native import pack_batch_into
+            filled = pack_batch_into(
+                self.packed, r0, block.buf, block.seq_off, block.seq_len,
+                block.qual_off, take, self.L)
+        except Exception:
+            filled = False
+        sl = block.seq_len[take]
+        if not filled:
+            L = self.L
+            col = np.arange(L, dtype=np.int64)
+            src_b = block.seq_off[take][:, None] + col[None, :]
+            src_q = block.qual_off[take][:, None] + col[None, :]
+            valid = col[None, :] < sl[:, None]
+            np.copyto(self.packed[r0:r0 + k, :L],
+                      block.arr[np.where(valid, src_b, 0)], where=valid)
+            np.copyto(self.packed[r0:r0 + k, L:2 * L],
+                      block.arr[np.where(valid, src_q, 0)], where=valid)
+            self.packed[r0:r0 + k, 2 * L:2 * L + 4] = sl.astype(
+                "<i4").view(np.uint8).reshape(k, 4)
+            self.packed[r0:r0 + k, 2 * L + 4] = 1
+        self.lens[r0:r0 + k] = sl
+        self.read_mask[r0:r0 + k] = True
+        self.segments.append(Segment(block, np.asarray(take), r0))
+        self.count += k
+
+    def take_batch(self):
+        b = Batch(self.packed, self.lens, self.read_mask, self.segments,
+                  self.L)
+        self._reset()
+        return b
 
 
-def make_batches(block):
-    """Yield Batches covering all records of a RecordBlock."""
+def bucket_groups(block):
+    """Yields (L, record_indices) per contiguous length-bucket group,
+    indices sorted by length within the group."""
     n = block.n
     if n == 0:
         return
-    seq_len = block.seq_len
-    order = np.argsort(seq_len, kind="stable")
-    arr = block.arr
-    # group reads by their OWN length bucket (reads are sorted, so groups
-    # are contiguous) — the compiled (B, L) shapes stay canonical, one per
-    # bucket, since every new shape costs an XLA compile
+    order = np.argsort(block.seq_len, kind="stable")
     bucket_idx = np.searchsorted(np.asarray(_BUCKETS, np.int64),
-                                 np.maximum(seq_len[order], 1))
-    pos = 0
-    while pos < n:
-        bi = bucket_idx[pos]
-        L = _BUCKETS[bi]
-        rows = batch_rows(L)
-        end = pos
-        while end < n and end - pos < rows and bucket_idx[end] == bi:
-            end += 1
-        take = order[pos:end]
-        pos = end
-        yield _pack(block, take, L, rows)
+                                 np.maximum(block.seq_len[order], 1))
+    boundaries = np.flatnonzero(np.diff(bucket_idx)) + 1
+    start = 0
+    for end in list(boundaries) + [n]:
+        if end > start:
+            yield _BUCKETS[bucket_idx[start]], order[start:end]
+            start = end
 
 
-def _pack(block, take, L, rows):
-    B = max(rows, len(take))
-    k = len(take)
-    lens = np.zeros(B, np.int32)
-    read_mask = np.zeros(B, bool)
-    indices = np.full(B, -1, np.int64)
-
-    sl = block.seq_len[take]
-    lens[:k] = sl
-    read_mask[:k] = True
-    indices[:k] = take
-
-    # native row-copy fill of the packed [B, 2L+8] device feed
-    try:
-        from ..native import pack_batch
-        packed = pack_batch(block.buf, block.seq_off, block.seq_len,
-                            block.qual_off, take, L, B)
-    except Exception:
-        packed = None
-    if packed is None:
-        packed = np.zeros((B, 2 * L + 8), np.uint8)
-        col = np.arange(L, dtype=np.int64)
-        src_b = block.seq_off[take][:, None] + col[None, :]
-        src_q = block.qual_off[take][:, None] + col[None, :]
-        valid = col[None, :] < sl[:, None]
-        np.copyto(packed[:k, :L], block.arr[np.where(valid, src_b, 0)],
-                  where=valid)
-        np.copyto(packed[:k, L:2 * L], block.arr[np.where(valid, src_q, 0)],
-                  where=valid)
-        packed[:k, 2 * L:2 * L + 4] = lens[:k].astype("<i4").view(
-            np.uint8).reshape(k, 4)
-        packed[:k, 2 * L + 4] = 1
-    return Batch(packed, lens, read_mask, indices, block)
+def make_batches(block):
+    """Single-block batching (used by tests/benchmarks): yields full and
+    trailing partial Batches covering all records of one block."""
+    builders = {}
+    for L, take in bucket_groups(block):
+        b = builders.setdefault(L, BatchBuilder(L))
+        pos = 0
+        while pos < len(take):
+            k = min(b.space, len(take) - pos)
+            b.add(block, take[pos:pos + k])
+            pos += k
+            if b.full:
+                yield b.take_batch()
+    for b in builders.values():
+        if b.count:
+            yield b.take_batch()

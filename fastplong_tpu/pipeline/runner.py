@@ -21,7 +21,7 @@ from ..io.writer import Writer, AsyncWriter
 from ..stats import Stats
 from ..filter_result import FilterResult
 from ..util import loginfo
-from .batches import make_batches
+from .batches import BatchBuilder, bucket_groups
 from .device import build_fast_step, out_cap, TAG_NONE, \
     TAG_SPLIT_LEFT, TAG_SPLIT_RIGHT
 from .fast_runner import PackedResults, DeviceStats
@@ -54,11 +54,10 @@ class BlockResults:
         self.code = np.zeros((n, cap), np.int32)
         self.passed = np.zeros((n, cap), bool)
 
-    def scatter(self, indices, out):
-        m = indices >= 0
-        idx = indices[m]
+    def scatter_rows(self, indices, out, rows):
+        """Scatter batch rows `rows` into block records `indices`."""
         for name in ("lo", "hi", "null", "n_out", "active") + _SLOT_FIELDS:
-            getattr(self, name)[idx] = getattr(out, name)[m]
+            getattr(self, name)[indices] = getattr(out, name)[rows]
 
 
 class SingleEndRunner:
@@ -103,7 +102,13 @@ class SingleEndRunner:
 
         processed = 0
         last_reported = 0
-        pending = []  # dispatched blocks not yet drained (1-block lookahead)
+        # cross-block batching: builders accumulate reads per length bucket
+        # until a batch fills; per-block completion tracking keeps output in
+        # input order even though batches mix blocks
+        self._builders = {}
+        self._block_queue = []   # [block, BlockResults, outstanding_reads]
+        self._in_flight = []     # (batch, device_out)
+        self._max_in_flight = 4
         while True:
             block = reader.next_block()
             if block is None:
@@ -118,11 +123,23 @@ class SingleEndRunner:
             if opt.verbose and processed >= last_reported + 1000000:
                 last_reported = processed
                 loginfo("loaded %dM reads" % (last_reported // 1000000))
-            pending.append(self._dispatch_block(block))
-            while len(pending) > 1:
-                self._drain_block(*pending.pop(0))
-        while pending:
-            self._drain_block(*pending.pop(0))
+            self._block_queue.append(
+                [block, BlockResults(block.n, self.cap), block.n])
+            for L, take in bucket_groups(block):
+                b = self._builders.setdefault(L, BatchBuilder(L))
+                pos = 0
+                while pos < len(take):
+                    k = min(b.space, len(take) - pos)
+                    b.add(block, take[pos:pos + k])
+                    pos += k
+                    if b.full:
+                        self._dispatch(b.take_batch())
+        for b in self._builders.values():
+            if b.count:
+                self._dispatch(b.take_batch())
+        while self._in_flight:
+            self._drain_one()
+        assert not self._block_queue, "incomplete blocks at EOF"
         reader.close()
 
         if self.split_set is not None:
@@ -146,31 +163,38 @@ class SingleEndRunner:
 
     # ---------------------------------------------------------------- block
 
-    def _dispatch_block(self, block):
-        """Dispatch every batch of the block asynchronously (transfers and
-        compute overlap in flight); results are drained later in order."""
-        in_flight = []
-        for batch in make_batches(block):
-            state = self.device_stats.get(batch.L)
-            state, packed_out = self.step(state,
-                                          jax.numpy.asarray(batch.packed))
-            self.device_stats.put(batch.L, state)
-            in_flight.append((batch, packed_out))
-        return block, in_flight
+    def _dispatch(self, batch):
+        state = self.device_stats.get(batch.L)
+        state, packed_out = self.step(state, jax.numpy.asarray(batch.packed))
+        self.device_stats.put(batch.L, state)
+        self._in_flight.append((batch, packed_out))
+        while len(self._in_flight) > self._max_in_flight:
+            self._drain_one()
 
-    def _drain_block(self, block, in_flight):
-        res = BlockResults(block.n, self.cap)
-        for batch, packed_out in in_flight:
-            out = PackedResults(np.asarray(packed_out), self.cap,
-                                len(self.stages))
-            order = np.where(batch.indices >= 0,
-                             block.first_index + batch.indices, 1 << 60)
-            self._accumulate(out, batch, order)
-            res.scatter(batch.indices, out)
-        self._emit(block, res)
+    def _drain_one(self):
+        batch, packed_out = self._in_flight.pop(0)
+        out = PackedResults(np.asarray(packed_out), self.cap,
+                            len(self.stages))
+        order = np.full(len(batch.lens), 1 << 60, np.int64)
+        for seg in batch.segments:
+            order[seg.row_start:seg.row_start + len(seg.indices)] = (
+                seg.block.first_index + seg.indices)
+        self._accumulate(out, batch, order)
+        for seg in batch.segments:
+            rows = slice(seg.row_start, seg.row_start + len(seg.indices))
+            entry = self._find_block(seg.block)
+            entry[1].scatter_rows(seg.indices, out, rows)
+            entry[2] -= len(seg.indices)
+        # emit completed blocks from the head (input order)
+        while self._block_queue and self._block_queue[0][2] == 0:
+            block, res, _ = self._block_queue.pop(0)
+            self._emit(block, res)
 
-    def _process_block(self, block):
-        self._drain_block(*self._dispatch_block(block))
+    def _find_block(self, block):
+        for entry in self._block_queue:
+            if entry[0] is block:
+                return entry
+        raise RuntimeError("segment references an unknown block")
 
     def _accumulate(self, out, batch, order):
         cap = self.cap
