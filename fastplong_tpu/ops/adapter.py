@@ -82,8 +82,16 @@ def _region(bases, start_abs, R, valid_len):
 def _mismatch_full(bases, data: bytes):
     """mm[b, p] = #(bases[b, p+i] != adapter[i], i<alen) at EVERY raw
     position p in [0, L).  Windows running past L compare against zero
-    padding (callers mask by range).  Compares use python-int constants so
-    tracing stays cheap and the compiled code is pure VPU adds."""
+    padding (callers mask by range).
+
+    On TPU a Pallas kernel streams each tile through VMEM once; the jnp
+    fallback is `alen` shifted compares (python-int constants, so tracing
+    stays cheap and the compiled code is pure VPU adds)."""
+    from .pallas_kernels import use_pallas, mismatch_scan
+    if use_pallas():
+        mm = mismatch_scan(bases, data)
+        if mm is not None:
+            return mm
     B, L = bases.shape
     alen = len(data)
     padded = jnp.pad(bases, ((0, 0), (0, alen)))
