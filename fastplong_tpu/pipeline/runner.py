@@ -108,7 +108,7 @@ class SingleEndRunner:
         self._builders = {}
         self._block_queue = []   # [block, BlockResults, outstanding_reads]
         self._in_flight = []     # (batch, device_out)
-        self._max_in_flight = 4
+        self._max_in_flight = 12
         while True:
             block = reader.next_block()
             if block is None:
