@@ -76,3 +76,27 @@ def test_thread_flag_stats_invariant(tmp_path):
     """Stats/JSON must not depend on -w (they don't in either impl)."""
     fq = write_random_fastq(str(tmp_path / "in.fq"), n_reads=200, seed=92)
     assert_parity(fq, str(tmp_path), ["-A", "-w", "8"])
+
+
+def test_empty_input(tmp_path):
+    fq = str(tmp_path / "empty.fq")
+    open(fq, "w").close()
+    assert_parity(fq, str(tmp_path), ["-A"])
+
+
+def test_zero_length_reads(tmp_path):
+    fq = str(tmp_path / "in.fq")
+    with open(fq, "w") as f:
+        f.write("@r0\n\n+\n\n@r1\nACGTACGTACGTACGTACGTACGT\n+\n"
+                "IIIIIIIIIIIIIIIIIIIIIIII\n@r2\n\n+\n\n")
+    assert_parity(fq, str(tmp_path), ["-A"])
+    assert_parity(fq, str(tmp_path), ["-A", "-5", "-3"])
+
+
+def test_fasta_adapter_with_n(tmp_path):
+    fq = write_random_fastq(str(tmp_path / "in.fq"), n_reads=150, seed=93,
+                            adapter_start="AGATCGGAAGAGCACACG",
+                            adapter_prob=0.5)
+    fa = tmp_path / "a.fa"
+    fa.write_text(">iupac\nAGATCGGANGAGCACACG\n")
+    assert_parity(fq, str(tmp_path), ["-A", "-a", str(fa)])
