@@ -99,4 +99,7 @@ def test_fasta_adapter_with_n(tmp_path):
                             adapter_prob=0.5)
     fa = tmp_path / "a.fa"
     fa.write_text(">iupac\nAGATCGGANGAGCACACG\n")
-    assert_parity(fq, str(tmp_path), ["-A", "-a", str(fa)])
+    # explicit -s/-e so auto-detection is skipped; FASTA adapters (with an
+    # IUPAC N) trim on top of them (trimByMultiSequences)
+    assert_parity(fq, str(tmp_path),
+                  ["-s", "AGATCGGAAGAGCACACG", "-a", str(fa)])
