@@ -15,8 +15,18 @@ import numpy as np
 
 from ..common import TOKENS_PER_BATCH, MAX_BATCH_READS
 
-# length buckets: powers of two
-_BUCKETS = [1 << k for k in range(7, 31)]  # 128 .. 1G
+import os as _os
+
+# length buckets: powers of two (density 1), optionally with 1.5x midpoints
+# (FASTPLONG_BUCKET_DENSITY=2) — halves padding waste at the cost of twice
+# as many compiled shapes
+_DENSITY = int(_os.environ.get("FASTPLONG_BUCKET_DENSITY", "1"))
+_BUCKETS = []
+for _k in range(7, 31):
+    _BUCKETS.append(1 << _k)
+    if _DENSITY >= 2 and _k < 30:
+        _BUCKETS.append((1 << _k) + (1 << (_k - 1)))
+_BUCKETS.sort()
 
 
 def bucket_len(n: int) -> int:
