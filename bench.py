@@ -74,8 +74,10 @@ def main():
     opt = options_from_args(args, argv)
     opt.validate()
 
+    # measure the resident device-step rate first, on a quiet device
+    device_rate = _device_step_rate(opt)
+
     # warm-up run compiles all batch shapes on a truncated pass
-    import copy
     warm_opt = options_from_args(args, argv)
     warm_opt.validate()
     warm_opt.reads_to_process = 2000
@@ -89,10 +91,9 @@ def main():
 
     value = total_bases / dt
 
-    # context: pure device-step throughput on one resident batch (the
-    # end-to-end number above includes host<->device interconnect, which in
-    # tunneled dev environments is orders of magnitude below PCIe)
-    device_rate = _device_step_rate(opt)
+    # device_rate (measured above): pure device-step throughput on one
+    # resident batch; the end-to-end number includes host<->device
+    # interconnect, which in tunneled dev environments is far below PCIe
     print(json.dumps({
         "metric": "bases_per_second_per_chip",
         "value": round(value, 1),
