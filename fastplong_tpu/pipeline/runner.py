@@ -11,6 +11,7 @@ output equality with the reference is structural, not numeric.
 """
 
 import sys
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 import jax
@@ -107,8 +108,11 @@ class SingleEndRunner:
         # input order even though batches mix blocks
         self._builders = {}
         self._block_queue = []   # [block, BlockResults, outstanding_reads]
-        self._in_flight = []     # (batch, device_out)
+        self._in_flight = []     # (batch, future of host ndarray)
         self._max_in_flight = 12
+        # a single fetch thread pulls results to host in the background so
+        # d2h transfers overlap packing/dispatch on the main thread
+        self._fetcher = ThreadPoolExecutor(max_workers=1)
         while True:
             block = reader.next_block()
             if block is None:
@@ -140,6 +144,7 @@ class SingleEndRunner:
         while self._in_flight:
             self._drain_one()
         assert not self._block_queue, "incomplete blocks at EOF"
+        self._fetcher.shutdown()
         reader.close()
 
         if self.split_set is not None:
@@ -167,14 +172,14 @@ class SingleEndRunner:
         state = self.device_stats.get(batch.L)
         state, packed_out = self.step(state, jax.numpy.asarray(batch.packed))
         self.device_stats.put(batch.L, state)
-        self._in_flight.append((batch, packed_out))
+        self._in_flight.append(
+            (batch, self._fetcher.submit(np.asarray, packed_out)))
         while len(self._in_flight) > self._max_in_flight:
             self._drain_one()
 
     def _drain_one(self):
-        batch, packed_out = self._in_flight.pop(0)
-        out = PackedResults(np.asarray(packed_out), self.cap,
-                            len(self.stages))
+        batch, fut = self._in_flight.pop(0)
+        out = PackedResults(fut.result(), self.cap, len(self.stages))
         order = np.full(len(batch.lens), 1 << 60, np.int64)
         for seg in batch.segments:
             order[seg.row_start:seg.row_start + len(seg.indices)] = (
