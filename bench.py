@@ -6,7 +6,15 @@ Generates a Nanopore-like FASTQ (if not cached), runs the full pipeline
 output writing), and reports bases/s against the BASELINE.json target of
 3 GB/s per chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line with the headline metric plus secondary profiles:
+  value                    end-to-end bases/s, plain FASTQ input (headline)
+  device_step_*            resident device-step rate (no host/transfer)
+  gz_*                     same input gzip-compressed (native inflate path)
+  short_*                  mean-1kb reads (stresses per-record host cost)
+  stage_seconds            host pipeline stage breakdown of the timed run
+
+Env knobs: FASTPLONG_BENCH_PROFILES=plain,gz,short  FASTPLONG_BENCH_DEVICES=1
+(comma list; >1 entries adds a "scaling" table when enough devices exist).
 """
 
 import json
@@ -48,60 +56,123 @@ def gen_input(path, n_reads=8000, mean_len=8000, seed=7):
     return path
 
 
-def main():
-    workdir = os.environ.get("FASTPLONG_BENCH_DIR", "/tmp/fastplong_bench")
-    os.makedirs(workdir, exist_ok=True)
-    in_fq = os.path.join(workdir, "bench_in.fq")
-    if not os.path.exists(in_fq):
-        gen_input(in_fq)
-    total_bases = 0
-    # count bases once
-    import numpy as np
-    with open(in_fq, "rb") as f:
+def count_bases(path):
+    with open(path, "rb") as f:
         data = f.read()
     lines = data.split(b"\n")
-    total_bases = sum(len(lines[i]) for i in range(1, len(lines), 4))
+    return sum(len(lines[i]) for i in range(1, len(lines), 4))
 
+
+def build_opt(in_fq, workdir, tag, devices=1):
     from fastplong_tpu.main import build_parser, options_from_args
-    from fastplong_tpu.pipeline.runner import SingleEndRunner
-
-    out_fq = os.path.join(workdir, "bench_out.fq")
+    out_fq = os.path.join(workdir, "bench_out_%s.fq" % tag)
     argv = ["fastplong", "-i", in_fq, "-o", out_fq,
-            "-j", os.path.join(workdir, "bench.json"),
-            "-h", os.path.join(workdir, "bench.html"),
+            "-j", os.path.join(workdir, "bench_%s.json" % tag),
+            "-h", os.path.join(workdir, "bench_%s.html" % tag),
             "-s", START, "-e", END, "-5", "-3", "-x"]
+    if devices > 1:
+        argv += ["--devices", str(devices)]
     args = build_parser().parse_args(argv[1:])
     opt = options_from_args(args, argv)
     opt.validate()
+    return opt
 
-    # measure the resident device-step rate first, on a quiet device
-    device_rate = _device_step_rate(opt)
 
-    # warm-up run compiles all batch shapes on a truncated pass
-    warm_opt = options_from_args(args, argv)
-    warm_opt.validate()
-    warm_opt.reads_to_process = 2000
-    runner = SingleEndRunner(warm_opt)
-    runner.run()
-
+def timed_run(in_fq, workdir, tag, devices=1):
+    """One timed end-to-end pass; returns (seconds, runner)."""
+    from fastplong_tpu.pipeline.runner import SingleEndRunner
+    opt = build_opt(in_fq, workdir, tag, devices)
     t0 = time.time()
     runner = SingleEndRunner(opt)
     runner.run()
-    dt = time.time() - t0
+    return time.time() - t0, runner
 
-    value = total_bases / dt
 
-    # device_rate (measured above): pure device-step throughput on one
-    # resident batch; the end-to-end number includes host<->device
-    # interconnect, which in tunneled dev environments is far below PCIe
-    print(json.dumps({
+def main():
+    workdir = os.environ.get("FASTPLONG_BENCH_DIR", "/tmp/fastplong_bench")
+    os.makedirs(workdir, exist_ok=True)
+    profiles = os.environ.get(
+        "FASTPLONG_BENCH_PROFILES", "plain,gz,short").split(",")
+    in_fq = os.path.join(workdir, "bench_in.fq")
+    if not os.path.exists(in_fq):
+        gen_input(in_fq)
+    total_bases = count_bases(in_fq)
+
+    result = {
         "metric": "bases_per_second_per_chip",
-        "value": round(value, 1),
         "unit": "bases/s",
-        "vs_baseline": round(value / BASELINE_BASES_PER_S, 4),
-        "device_step_bases_per_second": round(device_rate, 1),
-        "device_step_vs_baseline": round(device_rate / BASELINE_BASES_PER_S, 4),
-    }))
+        "total_bases": total_bases,
+    }
+
+    # resident device-step rate first, on a quiet device (tunnel dispatch
+    # latency degrades under sustained load; measure before the e2e runs)
+    opt = build_opt(in_fq, workdir, "warm")
+    device_rate = _device_step_rate(opt)
+    result["device_step_bases_per_second"] = round(device_rate, 1)
+    result["device_step_vs_baseline"] = round(
+        device_rate / BASELINE_BASES_PER_S, 4)
+
+    # warm-up: full pass compiles every bucket shape the input hits; the
+    # compiled steps are cached process-wide (pipeline/device.py)
+    timed_run(in_fq, workdir, "warm")
+
+    # headline: plain FASTQ end-to-end
+    dt, runner = timed_run(in_fq, workdir, "plain")
+    value = total_bases / dt
+    result["value"] = round(value, 1)
+    result["vs_baseline"] = round(value / BASELINE_BASES_PER_S, 4)
+    result["wall_seconds"] = round(dt, 3)
+    result["stage_seconds"] = runner.timer.report()
+
+    if "gz" in profiles:
+        in_gz = in_fq + ".gz"
+        if not os.path.exists(in_gz):
+            from fastplong_tpu.io.compression import GzipMemberCompressor
+            comp = GzipMemberCompressor(4)
+            with open(in_fq, "rb") as f, open(in_gz, "wb") as g:
+                while True:
+                    chunk = f.read(1 << 22)
+                    if not chunk:
+                        break
+                    g.write(comp.compress(chunk))
+        dt_gz, _ = timed_run(in_gz, workdir, "gz")
+        result["gz_bases_per_second"] = round(total_bases / dt_gz, 1)
+        result["gz_wall_seconds"] = round(dt_gz, 3)
+
+    if "short" in profiles:
+        in_short = os.path.join(workdir, "bench_in_short.fq")
+        if not os.path.exists(in_short):
+            gen_input(in_short, n_reads=16000, mean_len=1000, seed=11)
+        short_bases = count_bases(in_short)
+        timed_run(in_short, workdir, "short_warm")
+        dt_s, _ = timed_run(in_short, workdir, "short")
+        result["short_bases_per_second"] = round(short_bases / dt_s, 1)
+        result["short_total_bases"] = short_bases
+        result["short_wall_seconds"] = round(dt_s, 3)
+
+    # optional scaling table over a device mesh (virtual CPU or multi-chip)
+    dev_list = [int(x) for x in os.environ.get(
+        "FASTPLONG_BENCH_DEVICES", "1").split(",")]
+    if len(dev_list) > 1:
+        import jax
+        avail = len(jax.devices())
+        scaling = {}
+        base_rate = None
+        for n in dev_list:
+            if n > avail:
+                continue
+            timed_run(in_fq, workdir, "scale%d_warm" % n, devices=n)
+            dt_n, _ = timed_run(in_fq, workdir, "scale%d" % n, devices=n)
+            rate = total_bases / dt_n
+            if base_rate is None:
+                base_rate = rate
+            scaling[str(n)] = {
+                "bases_per_second": round(rate, 1),
+                "efficiency": round(rate / (base_rate * n), 4),
+            }
+        result["scaling"] = scaling
+
+    print(json.dumps(result))
 
 
 def _device_step_rate(opt):

@@ -42,5 +42,12 @@ FAILED_TYPES = [
 # Overridable via env for tests (small shapes compile much faster).
 import os as _os
 
-TOKENS_PER_BATCH = int(_os.environ.get("FASTPLONG_TOKENS_PER_BATCH", 1 << 22))
+TOKENS_PER_BATCH = int(_os.environ.get("FASTPLONG_TOKENS_PER_BATCH", 1 << 23))
 MAX_BATCH_READS = int(_os.environ.get("FASTPLONG_MAX_BATCH_READS", 4096))
+
+# Per-read result rows are tiny ([B, ~19] int32) but every device->host
+# fetch pays a large fixed latency through the interconnect (measured
+# ~280ms for a small array vs ~56ms for 4MB).  The step therefore writes
+# each batch's packed output into a device-side ring buffer of
+# FETCH_GROUP batches, fetched as ONE mid-size transfer per group.
+FETCH_GROUP = int(_os.environ.get("FASTPLONG_FETCH_GROUP", 8))

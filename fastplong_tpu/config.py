@@ -112,6 +112,9 @@ class Options:
     output_to_stdout: bool = False
     reads_to_process: int = 0
     thread: int = 3
+    # TPU-native extension: run the device step data-parallel over this
+    # many accelerator devices (jax mesh); 1 = single-device fast path
+    devices: int = 1
     seq_len: int = 151
     trim: TrimmingOptions = field(default_factory=TrimmingOptions)
     qualfilter: QualityFilteringOptions = field(default_factory=QualityFilteringOptions)

@@ -32,9 +32,69 @@ for _c, _v in (("A", 0), ("T", 1), ("U", 1), ("C", 2), ("G", 3)):
     _CODE[ord(_c)] = _v
 
 
+class _PrefixSample:
+    """One sampled pass over the input prefix, shared by all pre-passes."""
+
+    __slots__ = ("tag", "blocks", "records", "bases", "saw_eof",
+                 "bytes_read", "bytes_total")
+
+    def __init__(self, tag, blocks, records, bases, saw_eof, bytes_read,
+                 bytes_total):
+        self.tag = tag
+        self.blocks = blocks          # [(RecordBlock, take)]
+        self.records = records
+        self.bases = bases
+        self.saw_eof = saw_eof
+        self.bytes_read = bytes_read
+        self.bytes_total = bytes_total
+
+
 class Evaluator:
     def __init__(self, opt):
         self.opt = opt
+        self._sample = None
+
+    # ------------------------------------------------------ shared sample
+
+    def load_prefix(self, detect: bool, readnum: bool):
+        """Read the input prefix ONCE for every pre-pass that will run
+        (SURVEY hard-part 6; the reference re-opens the file per pass,
+        main.cpp:262-293).  The widest consumer decides the sample limits;
+        each consumer then re-derives its numbers with its own arithmetic,
+        so results are bit-identical to independent passes."""
+        if detect:
+            self._sample = self._read_prefix(
+                "detect", 64 * 1024, 8192 * 64 * 1024, 16384, cap_take=True)
+        elif readnum:
+            self._sample = self._read_prefix(
+                "readnum", 512 * 1024, 151 * 512 * 1024, 8192,
+                cap_take=False)
+        else:
+            self._sample = self._read_prefix(
+                "seqlen", 100, 1 << 62, 100, cap_take=False)
+
+    def _read_prefix(self, tag, read_limit, base_limit, max_records,
+                     cap_take):
+        reader = FastqStreamReader(self.opt.in_file,
+                                   max_records=max_records,
+                                   prefix_only=True)
+        blocks = []
+        records = 0
+        bases = 0
+        saw_eof = False
+        while records < read_limit and bases < base_limit:
+            block = reader.next_block()
+            if block is None:
+                saw_eof = True
+                break
+            take = min(block.n, read_limit - records) if cap_take else block.n
+            blocks.append((block, take))
+            records += take
+            bases += int(block.seq_len[:take].sum())
+        bytes_read, bytes_total = reader.get_bytes()
+        reader.close()
+        return _PrefixSample(tag, blocks, records, bases, saw_eof,
+                             bytes_read, bytes_total)
 
     # ----------------------------------------------------- seq len / RNA
 
@@ -42,9 +102,15 @@ class Evaluator:
         opt = self.opt
         if not opt.in_file:
             return
-        reader = FastqStreamReader(opt.in_file, max_records=100)
-        block = reader.next_block()
-        reader.close()
+        if self._sample is not None and self._sample.blocks:
+            block = self._sample.blocks[0][0]
+        elif self._sample is not None:
+            block = None
+        else:
+            reader = FastqStreamReader(opt.in_file, max_records=100,
+                                       prefix_only=True)
+            block = reader.next_block()
+            reader.close()
         seqlen = 0
         num_t = 0
         num_u = 0
@@ -65,51 +131,30 @@ class Evaluator:
     # -------------------------------------------------------- read count
 
     def evaluate_read_num(self) -> int:
-        opt = self.opt
-        READ_LIMIT = 512 * 1024
-        BASE_LIMIT = 151 * 512 * 1024
-        reader = FastqStreamReader(opt.in_file, max_records=8192)
-        records = 0
-        bases = 0
-        saw_eof = False
-        while records < READ_LIMIT and bases < BASE_LIMIT:
-            block = reader.next_block()
-            if block is None:
-                saw_eof = True
-                break
-            records += block.n
-            bases += int(block.seq_len.sum())
-        bytes_read, bytes_total = reader.get_bytes()
-        reader.close()
-        if saw_eof:
-            return records
-        if records > 0:
-            bytes_per_read = bytes_read / records
-            return int(bytes_total * 1.01 / bytes_per_read)
+        if self._sample is None or self._sample.tag != "readnum":
+            self._sample = self._read_prefix(
+                "readnum", 512 * 1024, 151 * 512 * 1024, 8192,
+                cap_take=False)
+        s = self._sample
+        if s.saw_eof:
+            return s.records
+        if s.records > 0:
+            bytes_per_read = s.bytes_read / s.records
+            return int(s.bytes_total * 1.01 / bytes_per_read)
         return 0
 
     # --------------------------------------------------- adapter detect
 
     def eval_adapter_and_read_num(self) -> int:
         opt = self.opt
-        READ_LIMIT = 64 * 1024
-        BASE_LIMIT = 8192 * READ_LIMIT
-        reader = FastqStreamReader(opt.in_file, max_records=16384)
-        blocks = []
-        records = 0
-        bases = 0
-        saw_eof = False
-        while records < READ_LIMIT and bases < BASE_LIMIT:
-            block = reader.next_block()
-            if block is None:
-                saw_eof = True
-                break
-            take = min(block.n, READ_LIMIT - records)
-            blocks.append((block, take))
-            records += take
-            bases += int(block.seq_len[:take].sum())
-        bytes_read, bytes_total = reader.get_bytes()
-        reader.close()
+        if self._sample is None or self._sample.tag != "detect":
+            self._sample = self._read_prefix(
+                "detect", 64 * 1024, 8192 * 64 * 1024, 16384, cap_take=True)
+        s = self._sample
+        blocks = s.blocks
+        records = s.records
+        saw_eof = s.saw_eof
+        bytes_read, bytes_total = s.bytes_read, s.bytes_total
 
         if saw_eof:
             read_num = records

@@ -78,6 +78,73 @@ class GzipMemberCompressor:
             pass
 
 
+class MemberGzipDecoder:
+    """Member-at-a-time gzip decode of an in-memory compressed buffer.
+
+    The native input path replacing the reference's streaming isa-l inflate
+    (src/fastqreader.cpp:79-140): libdeflate whole-member decode runs
+    ~500-650 MB/s vs ~130 MB/s for zlib streaming.  Requires the complete
+    compressed file in memory (the reader bounds this with
+    FASTPLONG_GZ_INMEM_LIMIT and falls back to streaming zlib).
+    """
+
+    def __init__(self, data: bytes):
+        self._data = data
+        self._pos = 0
+        self.eof = not data
+
+    @property
+    def pos(self) -> int:
+        """Compressed bytes fully consumed so far."""
+        return self._pos
+
+    def tail_is_truncated(self):
+        """After a failed next_member: True if the remaining bytes are a
+        VALID deflate stream that simply ends early (truncated file), False
+        if the stream itself is corrupt.  Chooses between the reference's
+        two gzip diagnostics."""
+        d = zlib.decompressobj(47)
+        try:
+            d.decompress(self._data[self._pos:])
+        except zlib.error:
+            return False
+        return not d.eof
+
+    def next_member(self):
+        """Decode the next gzip member.
+
+        Returns (np.uint8 array, compressed_bytes_consumed), or None at end
+        of input.  Raises ValueError on corrupt data, or falls back by
+        raising RuntimeError if the native library is unavailable.
+        """
+        from ..native import gzip_decompress_member
+        data = self._data
+        while True:
+            if self._pos >= len(data):
+                self.eof = True
+                return None
+            if data[self._pos] == 0:
+                # skip pure-zero padding after a member (some producers
+                # pad with NULs; mirrors the zlib path's lstrip)
+                tail = data[self._pos:].lstrip(b"\x00")
+                if not tail:
+                    self.eof = True
+                    return None
+                self._pos = len(data) - len(tail)
+            rem = len(data) - self._pos
+            res = gzip_decompress_member(
+                data, self._pos, min(4 * rem, 1 << 31))
+            if res is None:
+                raise RuntimeError("native gzip decoder unavailable")
+            out, used = res
+            self._pos += used
+            if self._pos >= len(data):
+                self.eof = True
+            if len(out):
+                return out, used
+            # zero-length member: continue to the next one
+
+
 class StreamingGzipDecompressor:
     """Multi-member streaming gzip inflate (zlib backend)."""
 

@@ -17,12 +17,19 @@ Semantics preserved from the reference reader:
   * multi-member gzip input and stdin are supported (src/fastqreader.cpp:79-179)
 """
 
+import os
 import sys
 import numpy as np
 
-from .compression import StreamingGzipDecompressor
+from .compression import StreamingGzipDecompressor, MemberGzipDecoder
 
 CHUNK = 1 << 23  # 8MB read buffer, like reference FQ_BUF_SIZE
+
+# Whole-file in-memory limit for the native member-wise gzip decoder
+# (~5x faster than streaming zlib); larger compressed inputs fall back to
+# streaming.
+_GZ_INMEM_LIMIT = int(os.environ.get("FASTPLONG_GZ_INMEM_LIMIT",
+                                     str(8 << 30)))
 
 
 class RecordBlock:
@@ -101,7 +108,8 @@ def _parse_lines(buf: bytes, eof: bool):
 class FastqStreamReader:
     """Streams RecordBlocks from a FASTQ file (.fq / .fq.gz / stdin)."""
 
-    def __init__(self, filename: str, max_records: int = 65536):
+    def __init__(self, filename: str, max_records: int = 65536,
+                 prefix_only: bool = False):
         self.filename = filename
         self.max_records = max_records
         self.stopped = False      # set on malformed record (reference: EOF)
@@ -111,6 +119,11 @@ class FastqStreamReader:
         self._pending = b""
         self._eof = False
         self._gz = None
+        self._member = None       # native member-wise decoder state
+        self._mem_out = None
+        self._mem_served = 0
+        self._mem_in = 0
+        self._mem_reported = 0
         if filename == "/dev/stdin" or filename == "-":
             self._fh = sys.stdin.buffer
             self._seekable = False
@@ -118,14 +131,29 @@ class FastqStreamReader:
             self._fh = open(filename, "rb")
             self._seekable = True
             try:
-                import os
                 self._bytes_total = os.fstat(self._fh.fileno()).st_size
             except OSError:
                 self._bytes_total = 0
             magic = self._fh.read(2)
             self._fh.seek(0)
             if magic == b"\x1f\x8b":
-                self._gz = StreamingGzipDecompressor()
+                # whole-file native member decode for the main run; callers
+                # that only sample a prefix (evaluator pre-passes) keep the
+                # cheap streaming path so startup doesn't inflate the file
+                if (not prefix_only
+                        and 0 < self._bytes_total <= _GZ_INMEM_LIMIT
+                        and self._native_available()):
+                    self._member = MemberGzipDecoder(self._fh.read())
+                else:
+                    self._gz = StreamingGzipDecompressor()
+
+    @staticmethod
+    def _native_available():
+        try:
+            from ..native import get_lib
+            return get_lib() is not None
+        except Exception:
+            return False
 
     def get_bytes(self):
         """(bytes_read, bytes_total) of the underlying file — used by the
@@ -137,14 +165,66 @@ class FastqStreamReader:
             self._fh.close()
 
     def _read_chunk(self):
+        if self._member is not None:
+            return self._member_chunk()
         raw = self._fh.read(CHUNK)
         self._bytes_read += len(raw)
         if not raw:
             self._eof = True
+            if self._gz is not None and not self._gz.eof:
+                # input ended mid-member: reference isa-l diagnostic
+                # (src/fastqreader.cpp:135-139)
+                from ..util import error_exit
+                error_exit("igzip: unexpected eof")
             return b""
         if self._gz is not None:
-            return self._gz.decompress(raw)
+            import zlib
+            try:
+                return self._gz.decompress(raw)
+            except zlib.error:
+                from ..util import error_exit
+                # (src/fastqreader.cpp:91-94)
+                error_exit("igzip: encountered while decompressing file: "
+                           + self.filename)
         return raw
+
+    def _member_chunk(self):
+        """Serve ≤CHUNK bytes from the native member-wise gzip decoder,
+        advancing the compressed-byte accounting proportionally so
+        get_bytes() tracks consumption like the reference's streaming
+        reader (fastqreader.cpp:190-200)."""
+        m = self._member
+        if self._mem_out is None or self._mem_served >= len(self._mem_out):
+            if self._mem_out is not None:
+                self._bytes_read += self._mem_in - self._mem_reported
+                self._mem_out = None
+            try:
+                res = m.next_member()
+            except ValueError:
+                from ..util import error_exit
+                # libdeflate reports truncation and corruption identically;
+                # replay with streaming zlib to pick the reference's
+                # diagnostic: mid-member EOF -> "unexpected eof"
+                # (fastqreader.cpp:135-139), corrupt stream ->
+                # "encountered while decompressing" (fastqreader.cpp:91-94)
+                if m.tail_is_truncated():
+                    error_exit("igzip: unexpected eof")
+                error_exit("igzip: encountered while decompressing file: "
+                           + self.filename)
+            if res is None:
+                self._eof = True
+                return b""
+            self._mem_out, self._mem_in = res
+            self._mem_served = 0
+            self._mem_reported = 0
+        out = self._mem_out
+        take = min(CHUNK, len(out) - self._mem_served)
+        chunk = out[self._mem_served:self._mem_served + take].tobytes()
+        self._mem_served += take
+        rep = int(self._mem_in * self._mem_served / len(out))
+        self._bytes_read += rep - self._mem_reported
+        self._mem_reported = rep
+        return chunk
 
     def __iter__(self):
         return self

@@ -18,73 +18,176 @@ def build_parser():
                     "long reads (TPU-native)",
         add_help=False)
     a = p.add_argument
-    a("--help", action="help")
+    a("--help", action="help", help="print this message")
     a("-v", "--version", action="version",
-      version="fastplong %s" % VERSION)
-    # input/output
-    a("-i", "--in", dest="in_file", default="")
-    a("-o", "--out", default="")
-    a("--failed_out", default="")
-    a("-z", "--compression", type=int, default=4)
-    a("--stdin", action="store_true")
-    a("--stdout", action="store_true")
-    a("--reads_to_process", type=int, default=0)
-    a("--dont_overwrite", action="store_true")
-    a("-V", "--verbose", action="store_true")
+      version="fastplong %s" % VERSION, help="print version")
+    # input/output — help text mirrors the reference flag docs
+    # (src/main.cpp:29-103)
+    a("-i", "--in", dest="in_file", default="",
+      help="read input file name")
+    a("-o", "--out", default="",
+      help="read output file name")
+    a("--failed_out", default="",
+      help="specify the file to store reads that cannot pass the filters.")
+    a("-z", "--compression", type=int, default=4,
+      help="compression level for gzip output (1 ~ 9). 1 is fastest, 9 is "
+           "smallest, default is 4.")
+    a("--stdin", action="store_true",
+      help="input from STDIN.")
+    a("--stdout", action="store_true",
+      help="stream passing-filters reads to STDOUT. Disabled by default.")
+    a("--reads_to_process", type=int, default=0,
+      help="specify how many reads/pairs to be processed. Default 0 means "
+           "process all reads.")
+    a("--dont_overwrite", action="store_true",
+      help="don't overwrite existing files. Overwritting is allowed by "
+           "default.")
+    a("-V", "--verbose", action="store_true",
+      help="output verbose log information (i.e. when every 1M reads are "
+           "processed).")
     # adapter
-    a("-A", "--disable_adapter_trimming", action="store_true")
-    a("-s", "--start_adapter", default="auto")
-    a("-e", "--end_adapter", default="auto")
-    a("-a", "--adapter_fasta", default="")
-    a("-d", "--distance_threshold", type=float, default=0.25)
-    a("--trimming_extension", type=int, default=10)
+    a("-A", "--disable_adapter_trimming", action="store_true",
+      help="adapter trimming is enabled by default. If this option is "
+           "specified, adapter trimming is disabled")
+    a("-s", "--start_adapter", default="auto",
+      help="the adapter sequence at read start (5').")
+    a("-e", "--end_adapter", default="auto",
+      help="the adapter sequence at read end (3').")
+    a("-a", "--adapter_fasta", default="",
+      help="specify a FASTA file to trim both read by all the sequences in "
+           "this FASTA file")
+    a("-d", "--distance_threshold", type=float, default=0.25,
+      help="threshold of sequence-adapter-distance/adapter-length "
+           "(0.0 ~ 1.0), greater value means more adapters detected")
+    a("--trimming_extension", type=int, default=10,
+      help="when an adapter is detected, extend the trimming to make "
+           "cleaner trimming, default 10 means trimming 10 bases more")
     # trimming
-    a("-f", "--trim_front", type=int, default=0)
-    a("-t", "--trim_tail", type=int, default=0)
+    a("-f", "--trim_front", type=int, default=0,
+      help="trimming how many bases in front for read, default is 0")
+    a("-t", "--trim_tail", type=int, default=0,
+      help="trimming how many bases in tail for read, default is 0")
     # polyX
-    a("-x", "--trim_poly_x", action="store_true")
-    a("--poly_x_min_len", type=int, default=10)
+    a("-x", "--trim_poly_x", action="store_true",
+      help="enable polyX trimming in 3' ends.")
+    a("--poly_x_min_len", type=int, default=10,
+      help="the minimum length to detect polyX in the read tail. 10 by "
+           "default.")
     # quality cutting
-    a("-5", "--cut_front", action="store_true")
-    a("-3", "--cut_tail", action="store_true")
-    a("-W", "--cut_window_size", type=int, default=None)
-    a("-M", "--cut_mean_quality", type=int, default=None)
-    a("--cut_front_window_size", type=int, default=None)
-    a("--cut_front_mean_quality", type=int, default=None)
-    a("--cut_tail_window_size", type=int, default=None)
-    a("--cut_tail_mean_quality", type=int, default=None)
+    a("-5", "--cut_front", action="store_true",
+      help="move a sliding window from front (5') to tail, drop the bases "
+           "in the window if its mean quality < threshold, stop otherwise.")
+    a("-3", "--cut_tail", action="store_true",
+      help="move a sliding window from tail (3') to front, drop the bases "
+           "in the window if its mean quality < threshold, stop otherwise.")
+    a("-W", "--cut_window_size", type=int, default=None,
+      help="the window size option shared by cut_front, cut_tail. "
+           "Range: 1~1000, default: 4")
+    a("-M", "--cut_mean_quality", type=int, default=None,
+      help="the mean quality requirement option shared by cut_front, "
+           "cut_tail. Range: 1~36 default: 20 (Q20)")
+    a("--cut_front_window_size", type=int, default=None,
+      help="the window size option of cut_front, default to "
+           "cut_window_size if not specified")
+    a("--cut_front_mean_quality", type=int, default=None,
+      help="the mean quality requirement option for cut_front, default to "
+           "cut_mean_quality if not specified")
+    a("--cut_tail_window_size", type=int, default=None,
+      help="the window size option of cut_tail, default to "
+           "cut_window_size if not specified")
+    a("--cut_tail_mean_quality", type=int, default=None,
+      help="the mean quality requirement option for cut_tail, default to "
+           "cut_mean_quality if not specified")
     # masking
-    a("-N", "--mask", action="store_true")
-    a("--mask_window_size", type=int, default=50)
-    a("--mask_mean_quality", type=int, default=10)
+    a("-N", "--mask", action="store_true",
+      help="mask the low quality regions with N, these regions are "
+           "detected by sliding window with mean quality < "
+           "mask_mean_quality.")
+    a("--mask_window_size", type=int, default=50,
+      help="the size of the sliding window to evaluate the mean quality "
+           "for N masking(5~1000000), default: 50")
+    a("--mask_mean_quality", type=int, default=10,
+      help="the mean quality requirement for sliding window N masking "
+           "(5~30), default: 10 (Q10)")
     # breaking
-    a("-b", "--break", dest="break_", action="store_true")
-    a("--break_window_size", type=int, default=100)
-    a("--break_mean_quality", type=int, default=10)
+    a("-b", "--break", dest="break_", action="store_true",
+      help="break the reads by discarding the low quality regions, these "
+           "regions are detected by sliding window with mean quality < "
+           "break_mean_quality.")
+    a("--break_window_size", type=int, default=100,
+      help="the size of the sliding window to evaluate the mean quality "
+           "for sliding window breaking(5~1000000), default: 100")
+    a("--break_mean_quality", type=int, default=10,
+      help="the mean quality requirement for sliding window breaking "
+           "(5~30), default: 10 (Q10)")
     # quality filtering
-    a("-Q", "--disable_quality_filtering", action="store_true")
-    a("-q", "--qualified_quality_phred", type=int, default=15)
-    a("-u", "--unqualified_percent_limit", type=int, default=40)
-    a("--n_base_limit", type=int, default=1000000)
-    a("-n", "--n_percent_limit", type=int, default=10)
-    a("-m", "--mean_qual", type=int, default=0)
+    a("-Q", "--disable_quality_filtering", action="store_true",
+      help="quality filtering is enabled by default. If this option is "
+           "specified, quality filtering is disabled")
+    a("-q", "--qualified_quality_phred", type=int, default=15,
+      help="the quality value that a base is qualified. Default 15 means "
+           "phred quality >=Q15 is qualified.")
+    a("-u", "--unqualified_percent_limit", type=int, default=40,
+      help="how many percents of bases are allowed to be unqualified "
+           "(0~100). Default 40 means 40%%")
+    a("--n_base_limit", type=int, default=1000000,
+      help="if number of N base is >n_base_limit, then this read is "
+           "discarded (0~1000000). 0 means no N allowed, default 1000000 "
+           "means no N limit")
+    a("-n", "--n_percent_limit", type=int, default=10,
+      help="if one read's N base percentage is >n_percent_limit, then this "
+           "read is discarded (0~100). Default 10 means 10%%")
+    a("-m", "--mean_qual", type=int, default=0,
+      help="if one read's mean_qual quality score <mean_qual, then this "
+           "read is discarded. Default 0 means no requirement")
     # length filtering
-    a("-L", "--disable_length_filtering", action="store_true")
-    a("-l", "--length_required", type=int, default=20)
-    a("--length_limit", type=int, default=0)
+    a("-L", "--disable_length_filtering", action="store_true",
+      help="length filtering is enabled by default. If this option is "
+           "specified, length filtering is disabled")
+    a("-l", "--length_required", type=int, default=20,
+      help="reads shorter than length_required will be discarded, default "
+           "is 20.")
+    a("--length_limit", type=int, default=0,
+      help="reads longer than length_limit will be discarded, default 0 "
+           "means no limitation.")
     # low complexity filter
-    a("-y", "--low_complexity_filter", action="store_true")
-    a("-Y", "--complexity_threshold", type=int, default=30)
+    a("-y", "--low_complexity_filter", action="store_true",
+      help="enable low complexity filter. The complexity is defined as the "
+           "percentage of base that is different from its next base "
+           "(base[i] != base[i+1]).")
+    a("-Y", "--complexity_threshold", type=int, default=30,
+      help="the threshold for low complexity filter (0~100). Default is "
+           "30, which means 30%% complexity is required.")
     # reporting
-    a("-j", "--json", default="fastplong.json")
-    a("-h", "--html", default="fastplong.html")
-    a("-R", "--report_title", default="fastplong report")
+    a("-j", "--json", default="fastplong.json",
+      help="the json format report file name")
+    a("-h", "--html", default="fastplong.html",
+      help="the html format report file name")
+    a("-R", "--report_title", default="fastplong report",
+      help="should be quoted with ' or \", default is \"fastplong report\"")
     # threading
-    a("-w", "--thread", type=int, default=3)
+    a("-w", "--thread", type=int, default=3,
+      help="worker thread number, default is 3")
+    # TPU-native extension: data-parallel execution over N accelerator
+    # devices (the mesh equivalent of the reference's worker threads)
+    a("--devices", type=int, default=1,
+      help="run the device step data-parallel over this many accelerator "
+           "devices (TPU-native extension), default is 1")
     # splitting
-    a("--split", type=int, default=0)
-    a("--split_by_lines", type=int, default=0)
-    a("--split_prefix_digits", type=int, default=4)
+    a("--split", type=int, default=0,
+      help="split output by limiting total split file number with this "
+           "option (2~999), a sequential number prefix will be added to "
+           "output name ( 0001.out.fq, 0002.out.fq...), disabled by "
+           "default")
+    a("--split_by_lines", type=int, default=0,
+      help="split output by limiting lines of each file with this "
+           "option(>=1000), a sequential number prefix will be added to "
+           "output name ( 0001.out.fq, 0002.out.fq...), disabled by "
+           "default")
+    a("--split_prefix_digits", type=int, default=4,
+      help="the digits for the sequential number padding (1~10), default "
+           "is 4, so the filename will be padded as 0001.xxx, 0 to disable "
+           "padding")
     return p
 
 
@@ -168,6 +271,7 @@ def options_from_args(args, argv):
     opt.break_opt.quality = args.break_mean_quality
 
     opt.thread = args.thread
+    opt.devices = args.devices
 
     opt.json_file = args.json
     opt.html_file = args.html

@@ -59,6 +59,14 @@ def get_lib():
     lib.fpl_pack_batch.argtypes = [
         ctypes.c_char_p, i64p, i64p, i64p, i64p,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
+    lib.fpl_emit_pieces.restype = None
+    lib.fpl_emit_pieces.argtypes = [
+        ctypes.c_void_p, i64p, i64p, ctypes.c_int64, ctypes.c_void_p]
+    szp = ctypes.POINTER(ctypes.c_size_t)
+    lib.fpl_gzip_decompress_member.restype = ctypes.c_int
+    lib.fpl_gzip_decompress_member.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
+        szp, szp]
     lib.fpl_gzip_bound.restype = ctypes.c_size_t
     lib.fpl_gzip_bound.argtypes = [ctypes.c_size_t, ctypes.c_int]
     lib.fpl_gzip_compress.restype = ctypes.c_size_t
@@ -103,6 +111,53 @@ def pack_batch_into(out, row_offset, arr_bytes, seq_off, seq_len, qual_off,
         _as_i64_ptr(np.ascontiguousarray(indices.astype(np.int64))),
         len(indices), L, ctypes.c_void_p(ptr), out.shape[0] - row_offset)
     return True
+
+
+def emit_pieces(src, offs, lens, total):
+    """Native piece-table concatenation. Returns bytes or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    offs = np.ascontiguousarray(offs, np.int64)
+    lens = np.ascontiguousarray(lens, np.int64)
+    out = np.empty(total, np.uint8)
+    lib.fpl_emit_pieces(
+        src.ctypes.data_as(ctypes.c_void_p), _as_i64_ptr(offs),
+        _as_i64_ptr(lens), len(offs),
+        out.ctypes.data_as(ctypes.c_void_p))
+    return out.tobytes()
+
+
+def gzip_decompress_member(data, offset: int, cap_hint: int):
+    """Decompress the single gzip member starting at data[offset:].
+
+    Returns (np.uint8 output array, compressed bytes consumed), or None if
+    the native library is unavailable.  Raises ValueError on corrupt data
+    (the caller maps this to the reference's error_exit diagnostics,
+    src/fastqreader.cpp:91-94).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, np.uint8)
+    n = len(data) - offset
+    cap = max(int(cap_hint), 1 << 16)
+    in_used = ctypes.c_size_t(0)
+    out_used = ctypes.c_size_t(0)
+    while True:
+        out = np.empty(cap, np.uint8)
+        r = lib.fpl_gzip_decompress_member(
+            ctypes.c_void_p(src.ctypes.data + offset), n,
+            out.ctypes.data_as(ctypes.c_void_p), cap,
+            ctypes.byref(in_used), ctypes.byref(out_used))
+        if r == 0:
+            return out[:out_used.value], int(in_used.value)
+        if r == 3:  # LIBDEFLATE_INSUFFICIENT_SPACE: grow and retry
+            cap *= 2
+            continue
+        if r == -1:
+            return None
+        raise ValueError("invalid gzip data")
 
 
 def gzip_compress(data: bytes, level: int):

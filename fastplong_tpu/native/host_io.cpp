@@ -109,6 +109,52 @@ void fpl_pack_batch(const uint8_t* buf,
     }
 }
 
+// ---------------------------------------------------------------- emission
+
+// Concatenates src[offs[i] : offs[i]+lens[i]] for all pieces into out.
+// The piece tables are computed vectorized in numpy (pipeline/emit.py);
+// this is the memcpy loop that materializes the output buffer — the
+// native replacement for the reference's per-read string appends
+// (src/read.cpp:119-177).
+void fpl_emit_pieces(const uint8_t* src, const int64_t* offs,
+                     const int64_t* lens, int64_t n, uint8_t* out) {
+    int64_t d = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t l = lens[i];
+        if (l <= 0) continue;
+        memcpy(out + d, src + offs[i], (size_t)l);
+        d += l;
+    }
+}
+
+// ----------------------------------------------------------- decompression
+
+struct libdeflate_decompressor;
+libdeflate_decompressor* libdeflate_alloc_decompressor();
+void libdeflate_free_decompressor(libdeflate_decompressor*);
+// returns: 0 success, 1 bad data, 2 short output, 3 insufficient space
+int libdeflate_gzip_decompress_ex(libdeflate_decompressor*,
+                                  const void* in, size_t in_n,
+                                  void* out, size_t out_cap,
+                                  size_t* in_used, size_t* out_used);
+
+static thread_local libdeflate_decompressor* g_decomp = nullptr;
+
+// Decompresses ONE gzip member from `in` (which must contain the complete
+// member).  This is the native input path replacing streaming isa-l in the
+// reference (src/fastqreader.cpp:79-140): whole-member libdeflate decode is
+// ~5x faster than zlib streaming, at the cost of holding the compressed
+// file in memory (bounded by FASTPLONG_GZ_INMEM_LIMIT on the Python side).
+// Returns the libdeflate status; caller retries with a larger `out` on 3.
+int fpl_gzip_decompress_member(const void* in, size_t in_n,
+                               void* out, size_t out_cap,
+                               size_t* in_used, size_t* out_used) {
+    if (!g_decomp) g_decomp = libdeflate_alloc_decompressor();
+    if (!g_decomp) return -1;
+    return libdeflate_gzip_decompress_ex(g_decomp, in, in_n, out, out_cap,
+                                         in_used, out_used);
+}
+
 // ------------------------------------------------------------- compression
 
 // Compresses data into one independent gzip member.  Returns compressed

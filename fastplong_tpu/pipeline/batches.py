@@ -36,10 +36,14 @@ def bucket_len(n: int) -> int:
     return n
 
 
-def batch_rows(L: int) -> int:
-    """Rows per batch for bucket length L."""
+def batch_rows(L: int, multiple: int = 1) -> int:
+    """Rows per batch for bucket length L; in mesh mode `multiple` is the
+    device count so every shard gets equal rows."""
     b = max(8, TOKENS_PER_BATCH // L)
-    return int(min(MAX_BATCH_READS, b))
+    b = int(min(MAX_BATCH_READS, b))
+    if multiple > 1:
+        b = max(multiple, (b // multiple) * multiple)
+    return b
 
 
 class Segment:
@@ -65,9 +69,9 @@ class Batch:
 
 
 class BatchBuilder:
-    def __init__(self, L):
+    def __init__(self, L, rows_multiple=1):
         self.L = L
-        self.rows = batch_rows(L)
+        self.rows = batch_rows(L, rows_multiple)
         self._reset()
 
     def _reset(self):

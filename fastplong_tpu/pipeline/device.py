@@ -22,8 +22,18 @@ split-left / 2 split-right), a region number for the "rN-" name prefix
 (0 = none), and an N-mask span.
 """
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: first-compile of a bucket shape costs
+# seconds (2-20s through the device tunnel); cached executables make every
+# later process start warm.  Tests set JAX_COMPILATION_CACHE_DIR themselves.
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_fastplong")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 from ..common import PASS_FILTER
 from ..ops.qualcut import trim_and_cut
@@ -329,22 +339,32 @@ _STAT_KEYS = ("cycle_q20", "cycle_q30", "cycle_content", "cycle_qual",
 import functools
 
 
+def zero_stats_state(L, n_dev=None):
+    """Zeroed accumulator pytree; with n_dev, leaves get a leading
+    per-device axis (sharded mesh mode — each device accumulates its own
+    partial, the host sums at drain, mirroring the reference's per-thread
+    Stats merged at end, seprocessor.cpp:108-121)."""
+    def z(shape):
+        if n_dev is not None:
+            shape = (n_dev,) + shape
+        return jnp.zeros(shape, jnp.int32)
+    def side():
+        return {
+            "cycle_q20": z((8, L)), "cycle_q30": z((8, L)),
+            "cycle_content": z((8, L)), "cycle_qual": z((8, L)),
+            "cycle_total_base": z((L,)), "cycle_total_qual": z((L,)),
+            "base_qual_hist": z((128,)), "kmer": z((1024,)),
+        }
+    return {"pre": side(), "post": side()}
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def init_stats_state(L):
     """Zeroed device-resident accumulators for one bucket length.
 
     Jitted as ONE executable per L: building 32 arrays eagerly would cost
     32 tiny compiles+dispatches through the device link."""
-    def z(shape):
-        return jnp.zeros(shape, jnp.int32)
-    def side():
-        return {
-            "cycle_q20": z((8, L)), "cycle_q30": z((8, L)),
-            "cycle_content": z((8, L)), "cycle_qual": z((8, L)),
-            "cycle_total_base": z(L), "cycle_total_qual": z(L),
-            "base_qual_hist": z(128), "kmer": z(1024),
-        }
-    return {"pre": side(), "post": side()}
+    return zero_stats_state(L)
 
 
 def _acc(state_side, partial):
@@ -374,11 +394,23 @@ def pack_input(bases, quals, lens, read_mask):
     return out
 
 
-def build_fast_step(opt):
-    """Returns (jitted fn(state, packed_in) -> (state', packed_out), stages).
+def make_fast_fn(opt):
+    """Returns (raw python fn(state, outbuf, slot, packed_in) ->
+    (state', outbuf'), stages) — unjitted, so the mesh path can wrap the
+    same function in shard_map (pipeline/sharding.py).
+
+    The function is shape-polymorphic over a leading per-device axis on the
+    state leaves: accumulation broadcasts the [8, L]-shaped batch partial
+    against state of either [8, L] (single device) or [1, 8, L] (the
+    per-device shard seen inside shard_map).
 
     packed_in: [B, 2L+8] uint8 from pack_input().
-    packed_out: [B, F] int32 with layout
+    outbuf: [K, B, F] int32 ring buffer of per-batch packed outputs; the
+      step writes this batch's rows at index `slot` (host-managed counter
+      mod K).  The host fetches the whole buffer once per K batches —
+      one mid-size d2h transfer instead of K small ones, because small
+      fetches pay a large fixed interconnect latency.
+    packed row layout ([B, F] int32):
       0: lo   1: hi
       2: flags = null | n_out<<1 | (poly+1)<<4 | pre_median<<8
       3: poly_trim   4: adapter_trimmed
@@ -392,7 +424,7 @@ def build_fast_step(opt):
     cap = out_cap(opt)
     n_stages = len(stages)
 
-    def fast(state, packed_in):
+    def fast(state, outbuf, slot, packed_in):
         # packed_in: [B, 2L+8] uint8 = bases || quals || lens(le32) || mask
         B = packed_in.shape[0]
         L = (packed_in.shape[1] - 8) // 2
@@ -427,6 +459,53 @@ def build_fast_step(opt):
         for si in range(n_stages):
             cols.append(out["adapter_recs"][:, si])
         packed_out = jnp.stack(cols, axis=1)
-        return state, packed_out
+        # outbuf is NOT donated: XLA materializes a fresh copy per call, so
+        # the previous group's buffer stays fetchable while the next batch
+        # dispatches (device-side copy of ~1-2MB is negligible)
+        outbuf = jax.lax.dynamic_update_slice(
+            outbuf, packed_out[None], (slot, jnp.int32(0), jnp.int32(0)))
+        return state, outbuf
 
+    return fast, stages
+
+
+def build_fast_step(opt):
+    """Single-device jitted fast step (see make_fast_fn for the contract)."""
+    fast, stages = make_fast_fn(opt)
     return jax.jit(fast, donate_argnums=0), stages
+
+
+def out_fields(opt):
+    """Number of int32 columns per read in the packed output row."""
+    cap = out_cap(opt)
+    return 5 + cap * 6 + len(adapter_stages(kernel_params(opt)))
+
+
+# --------------------------------------------------------------------------
+# Process-wide step cache.  jax.jit instances created per-Runner would each
+# re-trace and re-compile every bucket shape (2-20s per shape through the
+# device tunnel); the kernel graph depends only on the static kernel params,
+# so compiled steps are shared across Runner instances keyed by them.
+# --------------------------------------------------------------------------
+
+def _freeze(v):
+    if isinstance(v, dict):
+        return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple)):
+        return tuple(_freeze(x) for x in v)
+    return v
+
+
+_step_cache = {}
+
+
+def get_fast_step(opt, mesh=None):
+    """Cached build_fast_step (or its sharded variant when mesh is given)."""
+    key = (_freeze(kernel_params(opt)), mesh)
+    if key not in _step_cache:
+        if mesh is None:
+            _step_cache[key] = build_fast_step(opt)
+        else:
+            from .sharding import build_fast_sharded_step
+            _step_cache[key] = build_fast_sharded_step(opt, mesh)
+    return _step_cache[key]

@@ -10,7 +10,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..common import PASS_FILTER
+from ..common import PASS_FILTER, FETCH_GROUP
 from .device import build_fast_step, init_stats_state, out_cap, _STAT_KEYS
 
 
@@ -44,6 +44,26 @@ class PackedResults:
         self.adapter_recs = arr[:, base + cap * 6:]
 
 
+class Bucket:
+    """Device-resident per-bucket state: stat accumulators (donated carry)
+    plus the output ring buffer and the list of batches awaiting fetch."""
+
+    __slots__ = ("state", "outbuf", "pending", "stat_batches")
+
+    def __init__(self, L, B, F, placement=None):
+        outbuf = np.zeros((FETCH_GROUP, B, F), np.int32)
+        if placement is None:
+            self.state = init_stats_state(L)
+            # plain h2d transfer, NOT a jitted init — every extra executable
+            # per bucket costs a multi-minute compile through the tunnel
+            self.outbuf = jax.device_put(outbuf)
+        else:
+            self.state = placement.init_state(L)
+            self.outbuf = placement.put_outbuf(outbuf)
+        self.pending = []      # batches dispatched, not yet fetched
+        self.stat_batches = 0
+
+
 class DeviceStats:
     """Per-bucket device-resident accumulators with periodic drain."""
 
@@ -51,28 +71,38 @@ class DeviceStats:
     # cycle-qual cell grows by <= B*93 (~400k), so ~5000 batches are safe
     DRAIN_EVERY = 4000
 
-    def __init__(self):
-        self.states = {}       # L -> device state pytree
-        self.batch_counts = {}
+    def __init__(self, placement=None):
+        self.placement = placement   # MeshPlacement in mesh mode, else None
+        self.buckets = {}      # L -> Bucket
         self.drained = {"pre": [], "post": []}  # list of numpy dicts
 
-    def get(self, L):
-        if L not in self.states:
-            self.states[L] = init_stats_state(L)
-            self.batch_counts[L] = 0
-        return self.states[L]
+    def bucket(self, L, B, F):
+        b = self.buckets.get(L)
+        if b is None:
+            b = Bucket(L, B, F, self.placement)
+            self.buckets[L] = b
+        return b
 
-    def put(self, L, state):
-        self.states[L] = state
-        self.batch_counts[L] += 1
-        if self.batch_counts[L] >= self.DRAIN_EVERY:
-            self._drain(L)
+    def note_batch(self, L):
+        b = self.buckets[L]
+        b.stat_batches += 1
+        if b.stat_batches >= self.DRAIN_EVERY:
+            self._drain_stats(b)
 
     def _fetch_side(self, side):
-        """Fetch one side's arrays, slicing anything above ~4MB."""
+        """Fetch one side's arrays, slicing anything above ~4MB.
+
+        In mesh mode each leaf carries a leading per-device axis of
+        partials: fetch and sum over it (Stats::merge's collective-free
+        equivalent — per-read work never crossed devices, so the only
+        reduction in the whole pipeline happens here, on the host)."""
         out = {}
+        sharded = self.placement is not None
         for k in _STAT_KEYS:
             a = side[k]
+            if sharded:
+                out[k] = np.asarray(a).sum(axis=0)
+                continue
             n = a.size * 4
             if n > (4 << 20) and a.ndim == 2:
                 out[k] = np.concatenate(
@@ -86,14 +116,20 @@ class DeviceStats:
                 out[k] = np.asarray(a)
         return out
 
-    def _drain(self, L):
-        st = self.states.pop(L)
+    def _drain_stats(self, b):
+        st = b.state
         self.drained["pre"].append(self._fetch_side(st["pre"]))
         self.drained["post"].append(self._fetch_side(st["post"]))
-        self.batch_counts[L] = 0
+        L = st["pre"]["cycle_q20"].shape[-1]
+        if self.placement is None:
+            b.state = init_stats_state(L)
+        else:
+            b.state = self.placement.init_state(L)
+        b.stat_batches = 0
 
     def finish(self):
         """Drain everything; returns (pre_partials, post_partials) lists."""
-        for L in list(self.states.keys()):
-            self._drain(L)
+        for b in self.buckets.values():
+            if b.stat_batches:
+                self._drain_stats(b)
         return self.drained["pre"], self.drained["post"]

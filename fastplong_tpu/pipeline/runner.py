@@ -11,6 +11,7 @@ output equality with the reference is structural, not numeric.
 """
 
 import sys
+import time
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -21,15 +22,39 @@ from ..io.fastq import FastqStreamReader
 from ..io.writer import Writer, AsyncWriter
 from ..stats import Stats
 from ..filter_result import FilterResult
+from ..common import FETCH_GROUP
 from ..util import loginfo
 from .batches import BatchBuilder, bucket_groups
-from .device import build_fast_step, out_cap, TAG_NONE, \
+from .device import get_fast_step, out_cap, out_fields, TAG_NONE, \
     TAG_SPLIT_LEFT, TAG_SPLIT_RIGHT
 from .fast_runner import PackedResults, DeviceStats
+
+
+class StageTimer:
+    """Wall-time accounting per pipeline stage (main thread only).
+
+    The reference has no per-stage timing at all (main.cpp:298-303 is one
+    end-to-end clock); this exists to make the host side of the pipeline
+    diagnosable — bench.py publishes the breakdown.
+    """
+
+    def __init__(self):
+        self.seconds = {}
+        self.counts = {}
+
+    def add(self, stage, dt, n=1):
+        self.seconds[stage] = self.seconds.get(stage, 0.0) + dt
+        self.counts[stage] = self.counts.get(stage, 0) + n
+
+    def report(self):
+        return {k: round(v, 4) for k, v in sorted(self.seconds.items())}
 
 _NL = b"\n"
 _TAG_BYTES = {TAG_SPLIT_LEFT: b"split-by-adapter-left-",
               TAG_SPLIT_RIGHT: b"split-by-adapter-right-"}
+
+import os as _os
+_EMIT_FALLBACK = _os.environ.get("FASTPLONG_EMIT_FALLBACK", "") == "1"
 
 _SLOT_FIELDS = ("out_lo", "out_hi", "out_tag", "region_no", "is_parent",
                 "mask_lo", "mask_hi", "code", "passed")
@@ -62,17 +87,33 @@ class BlockResults:
 
 
 class SingleEndRunner:
-    def __init__(self, opt):
+    def __init__(self, opt, mesh=None):
         self.opt = opt
         self.pre_stats = Stats(is_rna=opt.is_rna)
         self.post_stats = Stats(is_rna=opt.is_rna)
         self.filter_result = FilterResult()
-        self.step, self.stages = build_fast_step(opt)
+        if mesh is None and getattr(opt, "devices", 1) > 1:
+            from .sharding import make_mesh
+            devs = jax.devices()
+            if len(devs) < opt.devices:
+                from ..util import error_exit
+                error_exit("--devices %d requested but only %d device(s) "
+                           "available" % (opt.devices, len(devs)))
+            mesh = make_mesh(devs[:opt.devices])
+        self.mesh = mesh
+        if mesh is not None:
+            from .sharding import MeshPlacement
+            self.placement = MeshPlacement(mesh)
+        else:
+            self.placement = None
+        self.step, self.stages = get_fast_step(opt, mesh)
+        self.n_fields = out_fields(opt)
         self.cap = out_cap(opt)
         self.mask_enabled = opt.mask.enabled
-        self.device_stats = DeviceStats()
+        self.device_stats = DeviceStats(self.placement)
         self.out_writer = None
         self.failed_writer = None
+        self.timer = StageTimer()
 
     # ------------------------------------------------------------------ run
 
@@ -108,13 +149,18 @@ class SingleEndRunner:
         # input order even though batches mix blocks
         self._builders = {}
         self._block_queue = []   # [block, BlockResults, outstanding_reads]
-        self._in_flight = []     # (batch, future of host ndarray)
-        self._max_in_flight = 12
+        self._in_flight = []     # (batches_of_group, future of [K,B,F])
+        self._max_in_flight = 3      # fetch groups in flight
+        self._max_blocks_pending = 8  # force partial-group flush beyond this
         # a single fetch thread pulls results to host in the background so
         # d2h transfers overlap packing/dispatch on the main thread
         self._fetcher = ThreadPoolExecutor(max_workers=1)
+        timer = self.timer
+        t_run0 = time.perf_counter()
         while True:
+            t0 = time.perf_counter()
             block = reader.next_block()
+            timer.add("read_parse", time.perf_counter() - t0)
             if block is None:
                 break
             if opt.reads_to_process > 0:
@@ -130,22 +176,32 @@ class SingleEndRunner:
             self._block_queue.append(
                 [block, BlockResults(block.n, self.cap), block.n])
             for L, take in bucket_groups(block):
-                b = self._builders.setdefault(L, BatchBuilder(L))
+                b = self._builders.setdefault(
+                    L, BatchBuilder(L, self.placement.n
+                                    if self.placement else 1))
                 pos = 0
                 while pos < len(take):
                     k = min(b.space, len(take) - pos)
+                    t0 = time.perf_counter()
                     b.add(block, take[pos:pos + k])
+                    timer.add("pack", time.perf_counter() - t0, k)
                     pos += k
                     if b.full:
                         self._dispatch(b.take_batch())
+            # rare buckets may never fill a fetch group; bound the number of
+            # blocks held alive by flushing partial groups when behind
+            if len(self._block_queue) > self._max_blocks_pending:
+                self._flush_pending_groups()
         for b in self._builders.values():
             if b.count:
                 self._dispatch(b.take_batch())
+        self._flush_pending_groups()
         while self._in_flight:
             self._drain_one()
         assert not self._block_queue, "incomplete blocks at EOF"
         self._fetcher.shutdown()
         reader.close()
+        timer.add("total_loop", time.perf_counter() - t_run0, processed)
 
         if self.split_set is not None:
             self.split_set.close()
@@ -154,6 +210,7 @@ class SingleEndRunner:
         if self.failed_writer:
             self.failed_writer.close()
 
+        t0 = time.perf_counter()
         pre_parts, post_parts = self.device_stats.finish()
         for part in pre_parts:
             self.pre_stats.add_device_partial(part)
@@ -164,36 +221,66 @@ class SingleEndRunner:
         self.pre_stats.calc_length_histogram()
         self.post_stats.summarize()
         self.post_stats.calc_length_histogram()
+        self.timer.add("stats_finish", time.perf_counter() - t0)
+        if opt.verbose:
+            loginfo("stage seconds: %s" % self.timer.report())
         return self.pre_stats, self.post_stats, self.filter_result
 
     # ---------------------------------------------------------------- block
 
     def _dispatch(self, batch):
-        state = self.device_stats.get(batch.L)
-        state, packed_out = self.step(state, jax.numpy.asarray(batch.packed))
-        self.device_stats.put(batch.L, state)
-        self._in_flight.append(
-            (batch, self._fetcher.submit(np.asarray, packed_out)))
+        t0 = time.perf_counter()
+        bs = self.device_stats.bucket(batch.L, batch.packed.shape[0],
+                                      self.n_fields)
+        slot = np.int32(len(bs.pending))
+        xin = (self.placement.put_input(batch.packed) if self.placement
+               else jax.numpy.asarray(batch.packed))
+        bs.state, bs.outbuf = self.step(bs.state, bs.outbuf, slot, xin)
+        batch.packed = None  # release the host-side feed buffer
+        bs.pending.append(batch)
+        self.device_stats.note_batch(batch.L)
+        self.timer.add("dispatch", time.perf_counter() - t0)
+        if len(bs.pending) >= FETCH_GROUP:
+            self._flush_group(bs)
         while len(self._in_flight) > self._max_in_flight:
             self._drain_one()
 
+    def _flush_group(self, bs):
+        batches = bs.pending
+        bs.pending = []
+        self._in_flight.append(
+            (batches, self._fetcher.submit(np.asarray, bs.outbuf)))
+
+    def _flush_pending_groups(self):
+        for bs in self.device_stats.buckets.values():
+            if bs.pending:
+                self._flush_group(bs)
+
     def _drain_one(self):
-        batch, fut = self._in_flight.pop(0)
-        out = PackedResults(fut.result(), self.cap, len(self.stages))
-        order = np.full(len(batch.lens), 1 << 60, np.int64)
-        for seg in batch.segments:
-            order[seg.row_start:seg.row_start + len(seg.indices)] = (
-                seg.block.first_index + seg.indices)
-        self._accumulate(out, batch, order)
-        for seg in batch.segments:
-            rows = slice(seg.row_start, seg.row_start + len(seg.indices))
-            entry = self._find_block(seg.block)
-            entry[1].scatter_rows(seg.indices, out, rows)
-            entry[2] -= len(seg.indices)
+        batches, fut = self._in_flight.pop(0)
+        t0 = time.perf_counter()
+        group = fut.result()  # [K, B, F]; rows beyond len(batches) stale
+        self.timer.add("fetch_wait", time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        for j, batch in enumerate(batches):
+            out = PackedResults(group[j], self.cap, len(self.stages))
+            order = np.full(len(batch.lens), 1 << 60, np.int64)
+            for seg in batch.segments:
+                order[seg.row_start:seg.row_start + len(seg.indices)] = (
+                    seg.block.first_index + seg.indices)
+            self._accumulate(out, batch, order)
+            for seg in batch.segments:
+                rows = slice(seg.row_start, seg.row_start + len(seg.indices))
+                entry = self._find_block(seg.block)
+                entry[1].scatter_rows(seg.indices, out, rows)
+                entry[2] -= len(seg.indices)
+        self.timer.add("accumulate", time.perf_counter() - t0)
         # emit completed blocks from the head (input order)
         while self._block_queue and self._block_queue[0][2] == 0:
             block, res, _ = self._block_queue.pop(0)
+            t0 = time.perf_counter()
             self._emit(block, res)
+            self.timer.add("emit", time.perf_counter() - t0, block.n)
 
     def _find_block(self, block):
         for entry in self._block_queue:
@@ -247,6 +334,19 @@ class SingleEndRunner:
                     self.filter_result.add_adapter_trimmed(rec_seq, cnt)
 
     def _emit(self, block, res):
+        if self.split_set is None and not _EMIT_FALLBACK:
+            # vectorized piece-table path (pipeline/emit.py); the per-read
+            # loop below remains for split mode, which needs per-read
+            # writer rotation (threadconfig.cpp:88-108)
+            from .emit import emit_block_fast
+            out_b, failed_b = emit_block_fast(
+                block, res, self.cap, self.mask_enabled,
+                self.out_writer is not None, self.failed_writer is not None)
+            if out_b and self.out_writer is not None:
+                self.out_writer.write(out_b)
+            if failed_b:
+                self.failed_writer.write(failed_b)
+            return
         out_pieces = []
         failed_pieces = []
         buf = block.buf

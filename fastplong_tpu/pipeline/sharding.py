@@ -17,13 +17,78 @@ try:
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
-from .device import build_step, kernel_params, adapter_stages
+import functools
+
+from jax.sharding import NamedSharding
+
+from .device import build_step, kernel_params, adapter_stages, \
+    make_fast_fn, zero_stats_state
 
 
 def make_mesh(devices=None, axis="data"):
     import numpy as np
     devices = devices if devices is not None else jax.devices()
     return Mesh(np.array(devices, dtype=object).reshape(-1), (axis,))
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    try:
+        return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    except TypeError:
+        return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)
+
+
+def build_fast_sharded_step(opt, mesh, axis="data"):
+    """The production fast step over a device mesh.
+
+    Same contract as device.build_fast_step — (state, outbuf, slot,
+    packed_in) -> (state', outbuf') — but data-parallel over the read axis:
+      * packed_in [B, 2L+8]  sharded over rows (B/n per device)
+      * outbuf  [K, B, F]    sharded over dim 1 (each device writes its rows)
+      * state                leaves carry a leading [n_dev] axis; every
+                             device accumulates a private partial (the
+                             reference's per-thread Stats, merged at drain)
+      * slot                 replicated scalar
+    No collectives run in the hot path — reads are independent; the only
+    cross-device reduction is the host-side sum at stat-drain time.
+    """
+    fast, stages = make_fast_fn(opt)
+    dp = P(axis)
+    in_specs = (dp, P(None, axis), P(), dp)
+    out_specs = (dp, P(None, axis))
+    fn = _shard_map(fast, mesh, in_specs, out_specs)
+    return jax.jit(fn, donate_argnums=0), stages
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_init_fn(L, mesh, axis):
+    sh = NamedSharding(mesh, P(axis))
+    n = mesh.devices.size
+    return jax.jit(functools.partial(zero_stats_state, L, n),
+                   out_shardings=sh)
+
+
+class MeshPlacement:
+    """Host-side placement helper for mesh mode: shardings for the packed
+    input, the output ring buffer, and the per-device stat accumulators."""
+
+    def __init__(self, mesh, axis="data"):
+        self.mesh = mesh
+        self.axis = axis
+        self.n = int(mesh.devices.size)
+        self.in_sharding = NamedSharding(mesh, P(axis))
+        self.buf_sharding = NamedSharding(mesh, P(None, axis))
+
+    def init_state(self, L):
+        return _sharded_init_fn(L, self.mesh, self.axis)()
+
+    def put_outbuf(self, arr):
+        return jax.device_put(arr, self.buf_sharding)
+
+    def put_input(self, arr):
+        return jax.device_put(arr, self.in_sharding)
 
 
 def build_sharded_step(opt, mesh, axis="data"):

@@ -19,6 +19,11 @@ def process(opt):
 
     eva = Evaluator(opt)
     if support_evaluation:
+        # one shared prefix pass feeds seq-len/RNA, adapter detection and
+        # read-count estimation (the reference re-opens the input per pass,
+        # main.cpp:262-293; SURVEY hard-part 6 folds them)
+        eva.load_prefix(opt.shall_detect_adapter(),
+                        opt.split.need_evaluation)
         eva.evaluate_seq_len_and_check_rna()
 
     read_num = 0

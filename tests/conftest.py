@@ -21,5 +21,26 @@ os.environ.setdefault("FASTPLONG_TOKENS_PER_BATCH", str(1 << 15))
 os.environ.setdefault("FASTPLONG_MAX_BATCH_READS", "64")
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_compiled_steps():
+    """Drop compiled-executable references between test modules.
+
+    The golden suite runs dozens of pipeline configs in one process; the
+    process-wide step cache (pipeline/device._step_cache) plus jit's
+    per-shape executable caches otherwise accumulate hundreds of live XLA
+    CPU executables, which has been observed to segfault the XLA compiler
+    late in the run.  Production is unaffected (one config per process).
+    The persistent on-disk compile cache keeps recompiles cheap.
+    """
+    yield
+    try:
+        from fastplong_tpu.pipeline import device
+        device._step_cache.clear()
+        jax.clear_caches()
+    except Exception:
+        pass

@@ -129,3 +129,78 @@ def test_writer_gzip_members(tmp_path):
     # two independent gzip members
     assert data.count(b"\x1f\x8b") >= 2
     assert gzip.decompress(data) == b"012345689abcdef"
+
+
+# ------------------------------------------------- native gz member decoder
+
+def test_member_decoder_active_and_matches_streaming(tmp_path, monkeypatch):
+    """The main-run reader uses the native whole-member decoder; the
+    evaluator's prefix_only reader and the streaming fallback must agree."""
+    p = str(tmp_path / "in.fq.gz")
+    recs = [("@r%d" % i, "ACGT" * (3 + i % 37), "I" * 4 * (3 + i % 37))
+            for i in range(2000)]
+    with open(p, "wb") as f:
+        body = "".join("%s\n%s\n+\n%s\n" % r for r in recs).encode()
+        half = len(body) // 2
+        f.write(gzip.compress(body[:half]))
+        f.write(gzip.compress(body[half:]))
+    r_member = FastqStreamReader(p)
+    r_stream = FastqStreamReader(p, prefix_only=True)
+    if r_member._member is None:
+        pytest.skip("native library unavailable")
+    assert r_stream._member is None
+    got_m = collect(r_member)
+    got_s = collect(r_stream)
+    assert got_m == got_s == recs
+    # compressed-byte accounting reaches the full file size
+    assert r_member.get_bytes()[0] == os.path.getsize(p)
+
+
+def test_member_decoder_size_limit_falls_back(tmp_path, monkeypatch):
+    import fastplong_tpu.io.fastq as fq
+    p = str(tmp_path / "in.fq.gz")
+    with gzip.open(p, "wt") as f:
+        f.write("".join("%s\n%s\n+\n%s\n" % r for r in RECORDS))
+    monkeypatch.setattr(fq, "_GZ_INMEM_LIMIT", 1)
+    r = FastqStreamReader(p)
+    assert r._member is None
+    assert collect(r) == RECORDS
+
+
+def test_corrupt_gzip_member_error_exits(tmp_path):
+    p = str(tmp_path / "in.fq.gz")
+    raw = gzip.compress(b"@r1\nACGT\n+\nIIII\n" * 400)
+    with open(p, "wb") as f:
+        # valid header, corrupted deflate stream
+        f.write(raw[:20] + bytes(ch ^ 0xFF for ch in raw[20:60]) + raw[60:])
+    r = FastqStreamReader(p)
+    if r._member is None:
+        pytest.skip("native library unavailable")
+    # reference error_exit semantics (src/util.h:270-273): stderr + exit
+    with pytest.raises(SystemExit):
+        collect(r)
+
+
+def test_truncated_gzip_reports_unexpected_eof(tmp_path, capsys):
+    """Reference diagnostic for mid-member EOF (fastqreader.cpp:135-139),
+    on both the native member path and the streaming zlib path."""
+    full = gzip.compress(b"@r1\nACGT\n+\nIIII\n" * 400)
+    p = str(tmp_path / "t.fq.gz")
+    with open(p, "wb") as f:
+        f.write(full[: len(full) // 2])
+    for prefix_only in (False, True):
+        r = FastqStreamReader(p, prefix_only=prefix_only)
+        with pytest.raises(SystemExit):
+            collect(r)
+        assert "igzip: unexpected eof" in capsys.readouterr().err
+
+
+def test_corrupt_gzip_streaming_path_diagnostic(tmp_path, capsys):
+    raw = gzip.compress(b"@r1\nACGT\n+\nIIII\n" * 400)
+    p = str(tmp_path / "c.fq.gz")
+    with open(p, "wb") as f:
+        f.write(raw[:20] + bytes(ch ^ 0xFF for ch in raw[20:60]) + raw[60:])
+    r = FastqStreamReader(p, prefix_only=True)  # streaming zlib path
+    with pytest.raises(SystemExit):
+        collect(r)
+    assert "igzip: encountered while decompressing" in capsys.readouterr().err

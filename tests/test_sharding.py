@@ -65,3 +65,47 @@ def test_sharded_equals_single():
             np.testing.assert_array_equal(
                 ref["posts"][ci][k], got["posts"][ci][k],
                 err_msg="post%d.%s" % (ci, k))
+
+
+# -------------------------------------------- end-to-end mesh-mode pipeline
+
+def _write_input(path, n=500, seed=3):
+    rng = np.random.default_rng(seed)
+    with open(path, "w") as f:
+        for i in range(n):
+            ln = int(rng.integers(40, 900))
+            seq = "".join(rng.choice(list("ACGTN"), size=ln,
+                                     p=[0.245] * 4 + [0.02]))
+            qual = "".join(chr(int(q)) for q in rng.integers(35, 74, size=ln))
+            f.write("@r%d d\n%s\n+\n%s\n" % (i, seq, qual))
+
+
+def test_mesh_pipeline_end_to_end_parity(tmp_path):
+    """The PRODUCTION runner on an 8-device mesh writes byte-identical
+    out.fq / failed.fq / JSON to the single-device run — the mesh analog of
+    the reference's N-worker invariant (seprocessor.cpp:79-121)."""
+    import re
+    from fastplong_tpu.main import main
+
+    in_fq = str(tmp_path / "in.fq")
+    _write_input(in_fq)
+
+    def run(devices, tag):
+        argv = ["fastplong", "-i", in_fq,
+                "-o", str(tmp_path / ("out_%s.fq" % tag)),
+                "--failed_out", str(tmp_path / ("failed_%s.fq" % tag)),
+                "-j", str(tmp_path / ("r_%s.json" % tag)),
+                "-h", str(tmp_path / ("r_%s.html" % tag)),
+                "-s", "AATGTACTTCGTTCAGTTACGTATTGCT", "-5", "-3", "-x",
+                "--devices", str(devices)]
+        main(argv)
+
+    run(1, "d1")
+    run(8, "d8")
+    for name in ("out", "failed"):
+        a = (tmp_path / ("%s_d1.fq" % name)).read_bytes()
+        b = (tmp_path / ("%s_d8.fq" % name)).read_bytes()
+        assert a == b, "%s.fq differs between 1 and 8 devices" % name
+    strip = lambda s: re.sub(r'"command": ".*"', '', s)
+    assert (strip((tmp_path / "r_d1.json").read_text())
+            == strip((tmp_path / "r_d8.json").read_text()))
