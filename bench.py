@@ -84,6 +84,7 @@ def timed_run(in_fq, workdir, tag, devices=1):
     opt = build_opt(in_fq, workdir, tag, devices)
     t0 = time.time()
     runner = SingleEndRunner(opt)
+    runner.timer.add("runner_init", time.time() - t0)
     runner.run()
     return time.time() - t0, runner
 
@@ -123,6 +124,21 @@ def main():
     result["vs_baseline"] = round(value / BASELINE_BASES_PER_S, 4)
     result["wall_seconds"] = round(dt, 3)
     result["stage_seconds"] = runner.timer.report()
+
+    # measured CPU anchor (tools/cpu_anchor.py): compare against the
+    # reference binary's matching config (3_adapters, best thread count)
+    anchor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE_CPU.json")
+    if os.path.exists(anchor_path):
+        with open(anchor_path) as f:
+            anchor = json.load(f)
+        cfg = anchor.get("configs", {}).get("3_adapters", {})
+        rates = [v.get("bases_per_second", 0) for v in cfg.values()
+                 if isinstance(v, dict)]
+        if rates:
+            best = max(rates)
+            result["cpu_anchor_bases_per_second"] = best
+            result["vs_cpu_anchor"] = round(value / best, 4)
 
     if "gz" in profiles:
         in_gz = in_fq + ".gz"

@@ -51,3 +51,16 @@ MAX_BATCH_READS = int(_os.environ.get("FASTPLONG_MAX_BATCH_READS", 4096))
 # each batch's packed output into a device-side ring buffer of
 # FETCH_GROUP batches, fetched as ONE mid-size transfer per group.
 FETCH_GROUP = int(_os.environ.get("FASTPLONG_FETCH_GROUP", 8))
+
+
+def stat_device_cap():
+    """Bucket length above which per-cycle statistics move to the host.
+
+    The reference grows its per-cycle buffers dynamically (stats.cpp:75-119)
+    so a single 8Mbp read costs 8M*8 counters only once, on the host.  Our
+    device accumulators are per-bucket [34*L] resident tensors — fine up to
+    ~64Kbp, ruinous for monster buckets (1GB+ per side at 8Mbp).  Buckets
+    longer than this cap run the stats-free device step and their reads are
+    statted by pipeline/host_stats.py instead (identical arithmetic).
+    Read per call so tests can lower it cheaply."""
+    return int(_os.environ.get("FASTPLONG_STAT_DEVICE_CAP", 1 << 16))

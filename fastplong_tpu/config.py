@@ -115,6 +115,15 @@ class Options:
     # TPU-native extension: run the device step data-parallel over this
     # many accelerator devices (jax mesh); 1 = single-device fast path
     devices: int = 1
+    # jax.profiler trace output directory ("" = disabled)
+    profile_dir: str = ""
+    # single-file multi-host sharding (TPU-native extension, multihost.py):
+    # this process handles record-aligned byte range host_index/num_hosts
+    num_hosts: int = 1
+    host_index: int = 0
+    byte_range: tuple = None       # set by main() from compute_range
+    json_file_base: str = ""       # unprefixed report paths (merged report)
+    html_file_base: str = ""
     seq_len: int = 151
     trim: TrimmingOptions = field(default_factory=TrimmingOptions)
     qualfilter: QualityFilteringOptions = field(default_factory=QualityFilteringOptions)

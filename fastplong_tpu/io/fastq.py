@@ -109,7 +109,10 @@ class FastqStreamReader:
     """Streams RecordBlocks from a FASTQ file (.fq / .fq.gz / stdin)."""
 
     def __init__(self, filename: str, max_records: int = 65536,
-                 prefix_only: bool = False):
+                 prefix_only: bool = False, byte_range=None):
+        """byte_range=(start, end): serve only that slice of a PLAIN file
+        (record-aligned offsets from multihost.compute_range) — the unit of
+        single-file sharding across hosts.  Unsupported for gzip/stdin."""
         self.filename = filename
         self.max_records = max_records
         self.stopped = False      # set on malformed record (reference: EOF)
@@ -124,7 +127,10 @@ class FastqStreamReader:
         self._mem_served = 0
         self._mem_in = 0
         self._mem_reported = 0
+        self._range_left = None
         if filename == "/dev/stdin" or filename == "-":
+            if byte_range is not None:
+                raise ValueError("byte_range requires a seekable plain file")
             self._fh = sys.stdin.buffer
             self._seekable = False
         else:
@@ -136,6 +142,14 @@ class FastqStreamReader:
                 self._bytes_total = 0
             magic = self._fh.read(2)
             self._fh.seek(0)
+            if byte_range is not None:
+                if magic == b"\x1f\x8b":
+                    raise ValueError(
+                        "byte_range requires a plain (non-gzip) file")
+                start, end = byte_range
+                self._fh.seek(start)
+                self._range_left = max(0, end - start)
+                return
             if magic == b"\x1f\x8b":
                 # whole-file native member decode for the main run; callers
                 # that only sample a prefix (evaluator pre-passes) keep the
@@ -167,6 +181,16 @@ class FastqStreamReader:
     def _read_chunk(self):
         if self._member is not None:
             return self._member_chunk()
+        if self._range_left is not None:
+            if self._range_left <= 0:
+                self._eof = True
+                return b""
+            raw = self._fh.read(min(CHUNK, self._range_left))
+            self._range_left -= len(raw)
+            self._bytes_read += len(raw)
+            if not raw:
+                self._eof = True
+            return raw
         raw = self._fh.read(CHUNK)
         self._bytes_read += len(raw)
         if not raw:

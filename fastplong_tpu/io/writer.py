@@ -34,21 +34,34 @@ class AsyncWriter:
             item = self._q.get()
             if item is None:
                 return
+            if self._exc is not None:
+                continue  # drain so producers never block on a dead writer
             try:
                 self._w.write(item)
-            except Exception as e:  # surfaced on close
+            except Exception as e:
                 self._exc = e
 
-    def write(self, data: bytes):
+    def check(self):
+        """Raise promptly if the writer thread has failed (e.g. disk full);
+        the pipeline polls this between blocks so a failure doesn't burn
+        minutes of compute before the next write call surfaces it."""
         if self._exc:
             raise self._exc
+
+    def write(self, data: bytes):
+        self.check()
         self._q.put(data)
 
     def close(self):
         self._q.put(None)
         self._t.join()
-        self._w.close()
-        if self._exc:
+        if self._exc is None:
+            self._w.close()
+        else:
+            try:
+                self._w.close()
+            except Exception:
+                pass
             raise self._exc
 
 

@@ -173,6 +173,19 @@ def build_parser():
     a("--devices", type=int, default=1,
       help="run the device step data-parallel over this many accelerator "
            "devices (TPU-native extension), default is 1")
+    a("--profile", default="",
+      help="write a jax.profiler trace of the run to this directory "
+           "(TPU-native extension; view with tensorboard/xprof), disabled "
+           "by default")
+    # TPU-native extension: shard ONE plain FASTQ across hosts by
+    # record-aligned byte ranges (multihost.py); each host writes
+    # 000N.-prefixed outputs + a stats partial, reports merge via DCN
+    # (jax.distributed) or `python -m fastplong_tpu.merge_reports`
+    a("--num_hosts", type=int, default=1,
+      help="shard the input file across this many hosts by record-aligned "
+           "byte ranges (TPU-native extension), default 1")
+    a("--host_index", type=int, default=0,
+      help="0-based index of this host's shard when --num_hosts > 1")
     # splitting
     a("--split", type=int, default=0,
       help="split output by limiting total split file number with this "
@@ -202,6 +215,7 @@ def options_from_args(args, argv):
     opt.input_from_stdin = args.stdin
     opt.output_to_stdout = args.stdout
     opt.verbose = args.verbose
+    opt.profile_dir = args.profile
 
     opt.adapter.enabled = not args.disable_adapter_trimming
     opt.adapter.sequence_start = args.start_adapter
@@ -272,6 +286,8 @@ def options_from_args(args, argv):
 
     opt.thread = args.thread
     opt.devices = args.devices
+    opt.num_hosts = args.num_hosts
+    opt.host_index = args.host_index
 
     opt.json_file = args.json
     opt.html_file = args.html
@@ -304,6 +320,17 @@ def options_from_args(args, argv):
 
 
 def main(argv=None):
+    # honor JAX_PLATFORMS even under plugins that ignore the env var (the
+    # axon TPU plugin claims the process regardless); must happen before
+    # the first backend initialization
+    import os as _os
+    _plat = _os.environ.get("JAX_PLATFORMS", "")
+    if _plat:
+        import jax as _jax
+        try:
+            _jax.config.update("jax_platforms", _plat)
+        except Exception:
+            pass
     if argv is None:
         argv = sys.argv
     if len(argv) == 1:
@@ -317,7 +344,10 @@ def main(argv=None):
 
     t1 = time.time()
     from .processor import process
-    process(opt)
+    if opt.num_hosts > 1:
+        _run_multihost(opt, process)
+    else:
+        process(opt)
     t2 = time.time()
 
     sys.stderr.write("\nJSON report: %s\n" % opt.json_file)
@@ -326,6 +356,35 @@ def main(argv=None):
     sys.stderr.write("fastplong v%s, time used: %d seconds\n"
                      % (VERSION, int(t2 - t1)))
     return 0
+
+
+def _run_multihost(opt, process):
+    """Single-file multi-host shard run (see multihost.py)."""
+    from . import multihost
+    if opt.host_index < 0 or opt.host_index >= opt.num_hosts:
+        error_exit("--host_index must be in [0, --num_hosts)")
+    if opt.input_from_stdin or opt.in_file in ("/dev/stdin", "-"):
+        error_exit("--num_hosts requires a seekable plain input file")
+    if opt.in_file.endswith(".gz"):
+        error_exit("--num_hosts cannot byte-shard gzip input (no random "
+                   "access); use parallel.py file sharding instead")
+    if opt.split.enabled:
+        error_exit("--split cannot be combined with --num_hosts")
+    # DCN initialization must precede the first jax backend use
+    distributed = multihost.distributed_init_from_env(opt)
+    opt.byte_range = multihost.compute_range(
+        opt.in_file, opt.num_hosts, opt.host_index)
+    opt.json_file_base = opt.json_file
+    opt.html_file_base = opt.html_file
+    for attr in ("out", "failed_out", "json_file", "html_file"):
+        setattr(opt, attr,
+                multihost.host_prefixed(getattr(opt, attr), opt.host_index))
+    pre, post, fr = process(opt)
+    part = "%s.part%d" % (opt.json_file_base, opt.host_index)
+    multihost.save_partial(part, opt, pre, post, fr)
+    sys.stderr.write("stats partial: %s\n" % part)
+    if distributed:
+        multihost.finish_distributed(opt, pre, post, fr)
 
 
 if __name__ == "__main__":

@@ -38,8 +38,12 @@ def bucket_len(n: int) -> int:
 
 def batch_rows(L: int, multiple: int = 1) -> int:
     """Rows per batch for bucket length L; in mesh mode `multiple` is the
-    device count so every shard gets equal rows."""
-    b = max(8, TOKENS_PER_BATCH // L)
+    device count so every shard gets equal rows.
+
+    Bounded by the real token budget: a monster bucket (L beyond
+    TOKENS_PER_BATCH) gets a single row rather than a floor of 8 — an
+    8Mbp read must not force a [8, 8M] batch (16x the budget)."""
+    b = max(1, TOKENS_PER_BATCH // L)
     b = int(min(MAX_BATCH_READS, b))
     if multiple > 1:
         b = max(multiple, (b // multiple) * multiple)

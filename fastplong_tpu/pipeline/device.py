@@ -133,8 +133,13 @@ class _Slot:
         self.is_parent = is_parent
 
 
-def build_step(opt):
-    """Returns (jitted step fn, adapter stage list)."""
+def build_step(opt, with_stats=True):
+    """Returns (jitted step fn, adapter stage list).
+
+    with_stats=False omits the statistics reductions (monster-read buckets
+    compute stats on the host, pipeline/host_stats.py): "pre"/"posts" come
+    back as None and medians are not available.
+    """
     p = kernel_params(opt)
     stages = adapter_stages(p)
     specs = [AdapterSpec(seq, p["ed_max"]) for seq, _ in stages]
@@ -147,7 +152,7 @@ def build_step(opt):
         B = lens.shape[0]
         lens = jnp.where(read_mask, lens, 0)
         pre = stat_batch(bases, quals, jnp.zeros_like(lens), lens,
-                         read_mask, zero_lo=True)
+                         read_mask, zero_lo=True) if with_stats else None
 
         lo, hi, null = trim_and_cut(
             bases, quals, lens, p["trim_front"], p["trim_tail"], **p["cut"])
@@ -293,7 +298,8 @@ def build_step(opt):
             pass_c = (code_c == PASS_FILTER) & s.active
             codes.append(code_c)
             passed.append(pass_c)
-            posts.append(stat_batch(bases_eff, quals, s.lo, s.hi, pass_c))
+            posts.append(stat_batch(bases_eff, quals, s.lo, s.hi, pass_c)
+                         if with_stats else None)
 
         active = jnp.stack([s.active for s in slots], axis=1)
         n_out = jnp.sum(active.astype(jnp.int32), axis=1)
@@ -335,6 +341,40 @@ _STAT_KEYS = ("cycle_q20", "cycle_q30", "cycle_content", "cycle_qual",
               "cycle_total_base", "cycle_total_qual", "base_qual_hist",
               "kmer")
 
+# Each statistic side lives on device as ONE flat int32 vector (layout
+# below) instead of 8 separate arrays: the end-of-run drain then costs a
+# couple of d2h transfers per bucket instead of ~16 latency-bound small
+# ones (every fetch pays a large fixed RTT through the interconnect).
+#   [0, 8L)       cycle_q20      [8, L]
+#   [8L, 16L)     cycle_q30      [8, L]
+#   [16L, 24L)    cycle_content  [8, L]
+#   [24L, 32L)    cycle_qual     [8, L]
+#   [32L, 33L)    cycle_total_base  [L]
+#   [33L, 34L)    cycle_total_qual  [L]
+#   [34L, +128)   base_qual_hist
+#   [+128, +1152) kmer [1024]
+_FLAT_EXTRA = 128 + 1024
+
+
+def flat_side_len(L):
+    return 34 * L + _FLAT_EXTRA
+
+
+def unflatten_side(flat, L):
+    """Split one fetched flat side vector into the named numpy arrays."""
+    out = {}
+    o = 0
+    for k in ("cycle_q20", "cycle_q30", "cycle_content", "cycle_qual"):
+        out[k] = flat[o:o + 8 * L].reshape(8, L)
+        o += 8 * L
+    for k in ("cycle_total_base", "cycle_total_qual"):
+        out[k] = flat[o:o + L]
+        o += L
+    out["base_qual_hist"] = flat[o:o + 128]
+    o += 128
+    out["kmer"] = flat[o:o + 1024]
+    return out
+
 
 import functools
 
@@ -344,31 +384,28 @@ def zero_stats_state(L, n_dev=None):
     per-device axis (sharded mesh mode — each device accumulates its own
     partial, the host sums at drain, mirroring the reference's per-thread
     Stats merged at end, seprocessor.cpp:108-121)."""
-    def z(shape):
-        if n_dev is not None:
-            shape = (n_dev,) + shape
-        return jnp.zeros(shape, jnp.int32)
-    def side():
-        return {
-            "cycle_q20": z((8, L)), "cycle_q30": z((8, L)),
-            "cycle_content": z((8, L)), "cycle_qual": z((8, L)),
-            "cycle_total_base": z((L,)), "cycle_total_qual": z((L,)),
-            "base_qual_hist": z((128,)), "kmer": z((1024,)),
-        }
-    return {"pre": side(), "post": side()}
+    shape = (flat_side_len(L),)
+    if n_dev is not None:
+        shape = (n_dev,) + shape
+    return {"pre": jnp.zeros(shape, jnp.int32),
+            "post": jnp.zeros(shape, jnp.int32)}
 
 
 @functools.partial(jax.jit, static_argnums=0)
 def init_stats_state(L):
     """Zeroed device-resident accumulators for one bucket length.
 
-    Jitted as ONE executable per L: building 32 arrays eagerly would cost
-    32 tiny compiles+dispatches through the device link."""
+    Jitted as ONE executable per L: an eager build would cost extra tiny
+    compiles+dispatches through the device link."""
     return zero_stats_state(L)
 
 
 def _acc(state_side, partial):
-    return {k: state_side[k] + partial[k] for k in _STAT_KEYS}
+    """Accumulate a batch partial (dict of arrays) into the flat side
+    vector; broadcasting covers both the [F] single-device state and the
+    [1, F] per-device shard seen inside shard_map."""
+    flat = jnp.concatenate([partial[k].ravel() for k in _STAT_KEYS])
+    return state_side + flat
 
 
 def packed_fields(opt):
@@ -394,7 +431,7 @@ def pack_input(bases, quals, lens, read_mask):
     return out
 
 
-def make_fast_fn(opt):
+def make_fast_fn(opt, with_stats=True):
     """Returns (raw python fn(state, outbuf, slot, packed_in) ->
     (state', outbuf'), stages) — unjitted, so the mesh path can wrap the
     same function in shard_map (pipeline/sharding.py).
@@ -419,12 +456,12 @@ def make_fast_fn(opt):
                     is_parent<<9 | active<<10 | post_median<<11
       5 + cap*6 ...: adapter_recs per stage
     """
-    inner_jit, stages = build_step(opt)
+    inner_jit, stages = build_step(opt, with_stats)
     inner = inner_jit.__wrapped__
     cap = out_cap(opt)
     n_stages = len(stages)
 
-    def fast(state, outbuf, slot, packed_in):
+    def core(outbuf, slot, packed_in):
         # packed_in: [B, 2L+8] uint8 = bases || quals || lens(le32) || mask
         B = packed_in.shape[0]
         L = (packed_in.shape[1] - 8) // 2
@@ -435,24 +472,24 @@ def make_fast_fn(opt):
         read_mask = packed_in[:, 2 * L + 4] != 0
         out = inner(bases, quals, lens, read_mask)
 
-        state = {"pre": _acc(state["pre"], out["pre"]),
-                 "post": state["post"]}
-        for post in out["posts"]:
-            state["post"] = _acc(state["post"], post)
-
+        zero = jnp.zeros((B,), jnp.int32)
+        pre_median = (out["pre"]["median"].astype(jnp.int32)
+                      if with_stats else zero)
         cols = [out["lo"], out["hi"]]
         flags = (out["null"].astype(jnp.int32)
                  | (out["n_out"] << 1)
                  | ((out["poly"] + 1) << 4)
-                 | (out["pre"]["median"].astype(jnp.int32) << 8))
+                 | (pre_median << 8))
         cols += [flags, out["poly_trim"], out["adapter_trimmed"]]
         for c in range(cap):
+            post_median = (out["posts"][c]["median"].astype(jnp.int32)
+                           if with_stats else zero)
             misc = (out["code"][:, c]
                     | (out["out_tag"][:, c] << 6)
                     | (out["passed"][:, c].astype(jnp.int32) << 8)
                     | (out["is_parent"][:, c].astype(jnp.int32) << 9)
                     | (out["active"][:, c].astype(jnp.int32) << 10)
-                    | (out["posts"][c]["median"].astype(jnp.int32) << 11))
+                    | (post_median << 11))
             cols += [out["out_lo"][:, c], out["out_hi"][:, c],
                      out["mask_lo"][:, c], out["mask_hi"][:, c],
                      misc, out["region_no"][:, c]]
@@ -464,14 +501,30 @@ def make_fast_fn(opt):
         # dispatches (device-side copy of ~1-2MB is negligible)
         outbuf = jax.lax.dynamic_update_slice(
             outbuf, packed_out[None], (slot, jnp.int32(0), jnp.int32(0)))
+        return out, outbuf
+
+    if not with_stats:
+        def fast_nostats(outbuf, slot, packed_in):
+            _, outbuf = core(outbuf, slot, packed_in)
+            return outbuf
+        return fast_nostats, stages
+
+    def fast(state, outbuf, slot, packed_in):
+        out, outbuf = core(outbuf, slot, packed_in)
+        state = {"pre": _acc(state["pre"], out["pre"]),
+                 "post": state["post"]}
+        for post in out["posts"]:
+            state["post"] = _acc(state["post"], post)
         return state, outbuf
 
     return fast, stages
 
 
-def build_fast_step(opt):
+def build_fast_step(opt, with_stats=True):
     """Single-device jitted fast step (see make_fast_fn for the contract)."""
-    fast, stages = make_fast_fn(opt)
+    fast, stages = make_fast_fn(opt, with_stats)
+    if not with_stats:
+        return jax.jit(fast), stages
     return jax.jit(fast, donate_argnums=0), stages
 
 
@@ -499,12 +552,12 @@ def _freeze(v):
 _step_cache = {}
 
 
-def get_fast_step(opt, mesh=None):
+def get_fast_step(opt, mesh=None, with_stats=True):
     """Cached build_fast_step (or its sharded variant when mesh is given)."""
-    key = (_freeze(kernel_params(opt)), mesh)
+    key = (_freeze(kernel_params(opt)), mesh, with_stats)
     if key not in _step_cache:
         if mesh is None:
-            _step_cache[key] = build_fast_step(opt)
+            _step_cache[key] = build_fast_step(opt, with_stats)
         else:
             from .sharding import build_fast_sharded_step
             _step_cache[key] = build_fast_sharded_step(opt, mesh)

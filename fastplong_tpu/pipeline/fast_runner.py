@@ -11,7 +11,8 @@ import jax
 import jax.numpy as jnp
 
 from ..common import PASS_FILTER, FETCH_GROUP
-from .device import build_fast_step, init_stats_state, out_cap, _STAT_KEYS
+from .device import build_fast_step, init_stats_state, out_cap, \
+    unflatten_side, _FLAT_EXTRA
 
 
 class PackedResults:
@@ -50,12 +51,15 @@ class Bucket:
 
     __slots__ = ("state", "outbuf", "pending", "stat_batches")
 
-    def __init__(self, L, B, F, placement=None):
+    def __init__(self, L, B, F, placement=None, with_stats=True):
         outbuf = np.zeros((FETCH_GROUP, B, F), np.int32)
-        if placement is None:
+        if not with_stats:
+            # monster bucket: spans/verdicts on device, stats on the host
+            # (pipeline/host_stats.py) — no resident accumulators
+            self.state = None
+            self.outbuf = jax.device_put(outbuf)
+        elif placement is None:
             self.state = init_stats_state(L)
-            # plain h2d transfer, NOT a jitted init — every extra executable
-            # per bucket costs a multi-minute compile through the tunnel
             self.outbuf = jax.device_put(outbuf)
         else:
             self.state = placement.init_state(L)
@@ -76,51 +80,46 @@ class DeviceStats:
         self.buckets = {}      # L -> Bucket
         self.drained = {"pre": [], "post": []}  # list of numpy dicts
 
-    def bucket(self, L, B, F):
+    def bucket(self, L, B, F, with_stats=True):
         b = self.buckets.get(L)
         if b is None:
-            b = Bucket(L, B, F, self.placement)
+            b = Bucket(L, B, F, self.placement, with_stats)
             self.buckets[L] = b
         return b
 
     def note_batch(self, L):
         b = self.buckets[L]
+        if b.state is None:
+            return
         b.stat_batches += 1
         if b.stat_batches >= self.DRAIN_EVERY:
             self._drain_stats(b)
 
-    def _fetch_side(self, side):
-        """Fetch one side's arrays, slicing anything above ~4MB.
+    def _fetch_side(self, side, L):
+        """Fetch one flat side vector (sliced under the interconnect's
+        ~4-8MB large-transfer collapse threshold) and split it into the
+        named arrays.
 
-        In mesh mode each leaf carries a leading per-device axis of
+        In mesh mode the vector carries a leading per-device axis of
         partials: fetch and sum over it (Stats::merge's collective-free
         equivalent — per-read work never crossed devices, so the only
         reduction in the whole pipeline happens here, on the host)."""
-        out = {}
-        sharded = self.placement is not None
-        for k in _STAT_KEYS:
-            a = side[k]
-            if sharded:
-                out[k] = np.asarray(a).sum(axis=0)
-                continue
-            n = a.size * 4
-            if n > (4 << 20) and a.ndim == 2:
-                out[k] = np.concatenate(
-                    [np.asarray(a[i:i + 1]) for i in range(a.shape[0])])
-            elif n > (4 << 20):
-                step = (4 << 20) // 4
-                out[k] = np.concatenate(
-                    [np.asarray(a[i:i + step])
-                     for i in range(0, a.shape[0], step)])
-            else:
-                out[k] = np.asarray(a)
-        return out
+        if self.placement is not None:
+            flat = np.asarray(side).sum(axis=0)
+        elif side.size * 4 > (4 << 20):
+            step = (4 << 20) // 4
+            flat = np.concatenate(
+                [np.asarray(side[i:i + step])
+                 for i in range(0, side.shape[0], step)])
+        else:
+            flat = np.asarray(side)
+        return unflatten_side(flat, L)
 
     def _drain_stats(self, b):
         st = b.state
-        self.drained["pre"].append(self._fetch_side(st["pre"]))
-        self.drained["post"].append(self._fetch_side(st["post"]))
-        L = st["pre"]["cycle_q20"].shape[-1]
+        L = (st["pre"].shape[-1] - _FLAT_EXTRA) // 34
+        self.drained["pre"].append(self._fetch_side(st["pre"], L))
+        self.drained["post"].append(self._fetch_side(st["post"], L))
         if self.placement is None:
             b.state = init_stats_state(L)
         else:
@@ -130,6 +129,6 @@ class DeviceStats:
     def finish(self):
         """Drain everything; returns (pre_partials, post_partials) lists."""
         for b in self.buckets.values():
-            if b.stat_batches:
+            if b.state is not None and b.stat_batches:
                 self._drain_stats(b)
         return self.drained["pre"], self.drained["post"]

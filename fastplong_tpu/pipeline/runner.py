@@ -17,7 +17,7 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 import jax
 
-from ..common import PASS_FILTER, FAILED_TYPES
+from ..common import PASS_FILTER, FAILED_TYPES, stat_device_cap
 from ..io.fastq import FastqStreamReader
 from ..io.writer import Writer, AsyncWriter
 from ..stats import Stats
@@ -87,6 +87,11 @@ class BlockResults:
 
 
 class SingleEndRunner:
+    # pipeline depth knobs (class-level so stress tests can shrink them):
+    # fetch groups allowed in flight / blocks held before forcing a flush
+    MAX_IN_FLIGHT = 3
+    MAX_BLOCKS_PENDING = 8
+
     def __init__(self, opt, mesh=None):
         self.opt = opt
         self.pre_stats = Stats(is_rna=opt.is_rna)
@@ -111,6 +116,15 @@ class SingleEndRunner:
         self.cap = out_cap(opt)
         self.mask_enabled = opt.mask.enabled
         self.device_stats = DeviceStats(self.placement)
+        # monster-read path: buckets beyond the device stat cap run a
+        # stats-free step (their stats are computed on the host from the
+        # original bytes — reference analog: dynamically-grown per-cycle
+        # buffers, stats.cpp:75-119)
+        self.stat_cap = stat_device_cap()
+        self._nostats_step = None
+        from .host_stats import HostStatAccumulator
+        self._host_pre = HostStatAccumulator()
+        self._host_post = HostStatAccumulator()
         self.out_writer = None
         self.failed_writer = None
         self.timer = StageTimer()
@@ -138,7 +152,8 @@ class SingleEndRunner:
 
         reader = FastqStreamReader(
             "/dev/stdin" if opt.input_from_stdin and not opt.in_file
-            else opt.in_file)
+            else opt.in_file,
+            byte_range=getattr(opt, "byte_range", None))
         if opt.verbose:
             loginfo("start to load data")
 
@@ -150,8 +165,8 @@ class SingleEndRunner:
         self._builders = {}
         self._block_queue = []   # [block, BlockResults, outstanding_reads]
         self._in_flight = []     # (batches_of_group, future of [K,B,F])
-        self._max_in_flight = 3      # fetch groups in flight
-        self._max_blocks_pending = 8  # force partial-group flush beyond this
+        self._max_in_flight = self.MAX_IN_FLIGHT
+        self._max_blocks_pending = self.MAX_BLOCKS_PENDING
         # a single fetch thread pulls results to host in the background so
         # d2h transfers overlap packing/dispatch on the main thread
         self._fetcher = ThreadPoolExecutor(max_workers=1)
@@ -173,12 +188,21 @@ class SingleEndRunner:
             if opt.verbose and processed >= last_reported + 1000000:
                 last_reported = processed
                 loginfo("loaded %dM reads" % (last_reported // 1000000))
+            # surface writer-thread failures (disk full) promptly instead of
+            # on the next write, which may be minutes away
+            if self.out_writer is not None:
+                self.out_writer.check()
+            if self.failed_writer is not None:
+                self.failed_writer.check()
             self._block_queue.append(
                 [block, BlockResults(block.n, self.cap), block.n])
             for L, take in bucket_groups(block):
+                # monster buckets bypass the mesh (single-device stats-free
+                # step), so they don't need shard-divisible row counts
                 b = self._builders.setdefault(
                     L, BatchBuilder(L, self.placement.n
-                                    if self.placement else 1))
+                                    if self.placement and L <= self.stat_cap
+                                    else 1))
                 pos = 0
                 while pos < len(take):
                     k = min(b.space, len(take) - pos)
@@ -203,12 +227,14 @@ class SingleEndRunner:
         reader.close()
         timer.add("total_loop", time.perf_counter() - t_run0, processed)
 
+        t0 = time.perf_counter()
         if self.split_set is not None:
             self.split_set.close()
         if self.out_writer:
             self.out_writer.close()
         if self.failed_writer:
             self.failed_writer.close()
+        timer.add("writer_close", time.perf_counter() - t0)
 
         t0 = time.perf_counter()
         pre_parts, post_parts = self.device_stats.finish()
@@ -216,6 +242,10 @@ class SingleEndRunner:
             self.pre_stats.add_device_partial(part)
         for part in post_parts:
             self.post_stats.add_device_partial(part)
+        if self._host_pre.partial() is not None:
+            self.pre_stats.add_device_partial(self._host_pre.partial())
+        if self._host_post.partial() is not None:
+            self.post_stats.add_device_partial(self._host_post.partial())
 
         self.pre_stats.summarize()
         self.pre_stats.calc_length_histogram()
@@ -230,12 +260,22 @@ class SingleEndRunner:
 
     def _dispatch(self, batch):
         t0 = time.perf_counter()
+        monster = batch.L > self.stat_cap
         bs = self.device_stats.bucket(batch.L, batch.packed.shape[0],
-                                      self.n_fields)
+                                      self.n_fields, with_stats=not monster)
         slot = np.int32(len(bs.pending))
-        xin = (self.placement.put_input(batch.packed) if self.placement
-               else jax.numpy.asarray(batch.packed))
-        bs.state, bs.outbuf = self.step(bs.state, bs.outbuf, slot, xin)
+        if monster:
+            # single-device stats-free step (mesh bypassed: monster batches
+            # are 1-few rows, sharding them would waste N-1 shards)
+            if self._nostats_step is None:
+                self._nostats_step = get_fast_step(
+                    self.opt, with_stats=False)[0]
+            xin = jax.numpy.asarray(batch.packed)
+            bs.outbuf = self._nostats_step(bs.outbuf, slot, xin)
+        else:
+            xin = (self.placement.put_input(batch.packed) if self.placement
+                   else jax.numpy.asarray(batch.packed))
+            bs.state, bs.outbuf = self.step(bs.state, bs.outbuf, slot, xin)
         batch.packed = None  # release the host-side feed buffer
         bs.pending.append(batch)
         self.device_stats.note_batch(batch.L)
@@ -264,6 +304,8 @@ class SingleEndRunner:
         t0 = time.perf_counter()
         for j, batch in enumerate(batches):
             out = PackedResults(group[j], self.cap, len(self.stages))
+            if batch.L > self.stat_cap:
+                self._host_stat_batch(out, batch)
             order = np.full(len(batch.lens), 1 << 60, np.int64)
             for seg in batch.segments:
                 order[seg.row_start:seg.row_start + len(seg.indices)] = (
@@ -281,6 +323,45 @@ class SingleEndRunner:
             t0 = time.perf_counter()
             self._emit(block, res)
             self.timer.add("emit", time.perf_counter() - t0, block.n)
+
+    def _host_stat_batch(self, out, batch):
+        """Host statRead for one monster batch (its device step is
+        stats-free): fills out.pre_median / out.post_median in place and
+        accumulates the per-cycle partials into the host accumulators.
+        Arithmetic is identical to ops/stats_kernels.stat_batch; monster
+        reads are rare so a python loop over 1-few rows is fine."""
+        from .host_stats import median_qual, masked_span
+        t0 = time.perf_counter()
+        mask_on = self.mask_enabled
+        n = 0
+        for seg in batch.segments:
+            blk = seg.block
+            arr = blk.arr
+            for k, i in enumerate(seg.indices):
+                row = seg.row_start + k
+                if not batch.read_mask[row]:
+                    continue
+                so = blk.seq_off[i]
+                sl = blk.seq_len[i]
+                qo = blk.qual_off[i]
+                seq = arr[so:so + sl]
+                qual = arr[qo:qo + sl]
+                self._host_pre.add_read(seq, qual)
+                out.pre_median[row] = median_qual(qual)
+                n += 1
+                if out.null[row]:
+                    continue
+                for c in range(self.cap):
+                    if not out.passed[row, c]:
+                        continue
+                    lo = int(out.out_lo[row, c])
+                    hi = int(out.out_hi[row, c])
+                    b_eff = (masked_span(seq, lo, hi, out.mask_lo[row, c],
+                                         out.mask_hi[row, c])
+                             if mask_on else seq[lo:hi])
+                    self._host_post.add_read(b_eff, qual[lo:hi])
+                    out.post_median[row, c] = median_qual(qual[lo:hi])
+        self.timer.add("host_stats", time.perf_counter() - t0, n)
 
     def _find_block(self, block):
         for entry in self._block_queue:

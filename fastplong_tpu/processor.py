@@ -47,7 +47,14 @@ def process(opt):
 
     from .pipeline.runner import SingleEndRunner
     runner = SingleEndRunner(opt)
-    pre_stats, post_stats, filter_result = runner.run()
+    if getattr(opt, "profile_dir", ""):
+        # --profile DIR: capture a jax.profiler trace of the whole run
+        # (device timelines + host python spans; view with tensorboard)
+        import jax
+        with jax.profiler.trace(opt.profile_dir):
+            pre_stats, post_stats, filter_result = runner.run()
+    else:
+        pre_stats, post_stats, filter_result = runner.run()
 
     if opt.verbose:
         from .util import loginfo

@@ -26,6 +26,11 @@ import pytest  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (multi-process jax etc.)")
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _release_compiled_steps():
     """Drop compiled-executable references between test modules.

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Measure the reference CPU anchor (BASELINE.md's prescription).
+
+Runs the reference binary at -w 3 and -w 16 over the bench input for each
+of the five BASELINE.json configs and writes bases/s to BASELINE_CPU.json
+(bench.py folds the numbers into its report when the file exists).
+
+Caveat recorded in the output: the binary is the golden-test shim build
+(tests/golden/build_reference.sh) — scalar stand-ins for the Highway SIMD
+and isa-l inflate paths, since those libraries aren't installable in this
+environment.  Shim vs SIMD mainly affects the adapter-scan inner loop.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+REF_BIN = os.environ.get("FASTPLONG_REF_BIN", "/tmp/fastplong_ref/fastplong")
+
+START = "AATGTACTTCGTTCAGTTACGTATTGCT"
+END = "AGCAATACGTAACTGAACGAAGT"
+
+CONFIGS = {
+    "1_filters": ["--disable_adapter_trimming"],
+    "2_cut_polyx": ["-5", "-3", "-x", "--disable_adapter_trimming"],
+    "3_adapters": ["-s", START, "-e", END],
+    "4_autodetect": [],
+    "5_break_complexity_split": ["-b", "-y", "--split", "4"],
+}
+
+
+def main():
+    workdir = os.environ.get("FASTPLONG_BENCH_DIR", "/tmp/fastplong_bench")
+    os.makedirs(workdir, exist_ok=True)
+    in_fq = os.path.join(workdir, "bench_in.fq")
+    if not os.path.exists(in_fq):
+        from bench import gen_input
+        gen_input(in_fq)
+    from bench import count_bases
+    total = count_bases(in_fq)
+
+    if not os.path.exists(REF_BIN):
+        from golden_util import ensure_reference  # builds the shim binary
+        ensure_reference()
+
+    results = {"binary": "shim build (scalar hwy/isa-l stand-ins)",
+               "input_bases": total, "configs": {}}
+    for name, args in CONFIGS.items():
+        results["configs"][name] = {}
+        for w in (3, 16):
+            out = os.path.join(workdir, "anchor_out.fq")
+            cmd = [REF_BIN, "-i", in_fq, "-o", out,
+                   "-j", os.path.join(workdir, "anchor.json"),
+                   "-h", os.path.join(workdir, "anchor.html"),
+                   "-w", str(w)] + args
+            t0 = time.time()
+            r = subprocess.run(cmd, capture_output=True, timeout=3600)
+            dt = time.time() - t0
+            if r.returncode != 0:
+                results["configs"][name]["w%d" % w] = {
+                    "error": r.stderr.decode()[-500:]}
+                continue
+            results["configs"][name]["w%d" % w] = {
+                "seconds": round(dt, 2),
+                "bases_per_second": round(total / dt, 1),
+            }
+            print("%s -w %d: %.1f Mbases/s (%.1fs)"
+                  % (name, w, total / dt / 1e6, dt), flush=True)
+    path = os.path.join(REPO, "BASELINE_CPU.json")
+    with open(path, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()
