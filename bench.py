@@ -105,13 +105,20 @@ def main():
         "total_bases": total_bases,
     }
 
-    # resident device-step rate first, on a quiet device (tunnel dispatch
-    # latency degrades under sustained load; measure before the e2e runs)
+    # device-side rates first, in a still-fresh process: the FIRST d2h
+    # permanently degrades this interconnect's per-op latency ~25x and its
+    # d2h bandwidth varies by orders of magnitude over hours ("weather"),
+    # so these are measured before anything fetches
     opt = build_opt(in_fq, workdir, "warm")
     device_rate = _device_step_rate(opt)
     result["device_step_bases_per_second"] = round(device_rate, 1)
     result["device_step_vs_baseline"] = round(
         device_rate / BASELINE_BASES_PER_S, 4)
+    # h2d + full fast step per batch, no fetches: the pipeline's dispatch-
+    # phase capability (what end-to-end approaches when d2h is healthy)
+    h2d_rate = _h2d_step_rate(opt)
+    result["h2d_step_bases_per_second"] = round(h2d_rate, 1)
+    result["h2d_step_vs_baseline"] = round(h2d_rate / BASELINE_BASES_PER_S, 4)
 
     # warm-up: full pass compiles every bucket shape the input hits; the
     # compiled steps are cached process-wide (pipeline/device.py)
@@ -214,6 +221,40 @@ def _device_step_rate(opt):
     for _ in range(n):
         out = step(bases, quals, lens, mask)
     jax.block_until_ready(out)
+    return B * L * n / (_t.time() - t0)
+
+
+def _h2d_step_rate(opt):
+    """Fresh h2d + jitted fast step per batch, no d2h anywhere."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from fastplong_tpu.pipeline.device import (
+        get_fast_step, out_fields, init_stats_state, global_stat_len)
+    from fastplong_tpu.pipeline.batches import batch_rows
+    from fastplong_tpu.common import FETCH_GROUP
+    import time as _t
+    step, _ = get_fast_step(opt)
+    L = 8192
+    B = batch_rows(L)
+    rng = np.random.default_rng(0)
+    packed = np.zeros((B, 2 * L + 8), np.uint8)
+    packed[:, :L] = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(B, L))
+    packed[:, L:2 * L] = rng.integers(38, 73, size=(B, L)).astype(np.uint8)
+    packed[:, 2 * L:2 * L + 4] = np.frombuffer(
+        np.full(1, L, "<i4").tobytes(), np.uint8)
+    packed[:, 2 * L + 4] = 1
+    state = init_stats_state(global_stat_len())
+    outbuf = jax.device_put(
+        np.zeros((FETCH_GROUP, B, out_fields(opt)), np.int32))
+    state, outbuf = step(state, outbuf, np.int32(0), jnp.asarray(packed))
+    jax.block_until_ready((state, outbuf))
+    n = 8
+    t0 = _t.time()
+    for i in range(n):
+        state, outbuf = step(state, outbuf, np.int32(i % FETCH_GROUP),
+                             jnp.asarray(packed))
+    jax.block_until_ready((state, outbuf))
     return B * L * n / (_t.time() - t0)
 
 

@@ -342,34 +342,54 @@ _STAT_KEYS = ("cycle_q20", "cycle_q30", "cycle_content", "cycle_qual",
               "kmer")
 
 # Each statistic side lives on device as ONE flat int32 vector (layout
-# below) instead of 8 separate arrays: the end-of-run drain then costs a
-# couple of d2h transfers per bucket instead of ~16 latency-bound small
-# ones (every fetch pays a large fixed RTT through the interconnect).
-#   [0, 8L)       cycle_q20      [8, L]
-#   [8L, 16L)     cycle_q30      [8, L]
-#   [16L, 24L)    cycle_content  [8, L]
-#   [24L, 32L)    cycle_qual     [8, L]
-#   [32L, 33L)    cycle_total_base  [L]
-#   [33L, 34L)    cycle_total_qual  [L]
-#   [34L, +128)   base_qual_hist
-#   [+128, +1152) kmer [1024]
-_FLAT_EXTRA = 128 + 1024
+# below): the end-of-run drain then costs one d2h transfer per bucket
+# instead of ~16 latency-bound small ones (every fetch pays a large fixed
+# RTT through the interconnect, and its bandwidth is at times catastrophic,
+# so BYTES FETCHED is the currency).  The per-(base,cycle) Q20/Q30 arrays
+# are reduced to per-base totals ON DEVICE — nothing downstream reads them
+# at cycle resolution (stats.py:137-138 only ever sums them), and dropping
+# them cuts the drain volume by ~47%.
+#   [0, 8L)       cycle_content  [8, L]
+#   [8L, 16L)     cycle_qual     [8, L]
+#   [16L, 17L)    cycle_total_base  [L]
+#   [17L, 18L)    cycle_total_qual  [L]
+#   [18L, +8)     q20_totals [8]   (per-base totals)
+#   [+8, +16)     q30_totals [8]
+#   [+16, +144)   base_qual_hist [128]
+#   [+144, +1168) kmer [1024]
+_FLAT_EXTRA = 8 + 8 + 128 + 1024
+_FLAT_PER_L = 18
 
 
 def flat_side_len(L):
-    return 34 * L + _FLAT_EXTRA
+    return _FLAT_PER_L * L + _FLAT_EXTRA
+
+
+def global_stat_len():
+    """The shared stat length: the largest bucket at or under the device
+    stat cap.  Every bucket's partials are padded to this, so the whole
+    run keeps ONE [2, F] accumulator regardless of bucket mix."""
+    from ..common import stat_device_cap
+    from .batches import _BUCKETS
+    cap = stat_device_cap()
+    ls = [b for b in _BUCKETS if b <= cap]
+    return ls[-1] if ls else _BUCKETS[0]
 
 
 def unflatten_side(flat, L):
     """Split one fetched flat side vector into the named numpy arrays."""
     out = {}
     o = 0
-    for k in ("cycle_q20", "cycle_q30", "cycle_content", "cycle_qual"):
+    for k in ("cycle_content", "cycle_qual"):
         out[k] = flat[o:o + 8 * L].reshape(8, L)
         o += 8 * L
     for k in ("cycle_total_base", "cycle_total_qual"):
         out[k] = flat[o:o + L]
         o += L
+    out["q20_totals"] = flat[o:o + 8]
+    o += 8
+    out["q30_totals"] = flat[o:o + 8]
+    o += 8
     out["base_qual_hist"] = flat[o:o + 128]
     o += 128
     out["kmer"] = flat[o:o + 1024]
@@ -380,15 +400,15 @@ import functools
 
 
 def zero_stats_state(L, n_dev=None):
-    """Zeroed accumulator pytree; with n_dev, leaves get a leading
-    per-device axis (sharded mesh mode — each device accumulates its own
-    partial, the host sums at drain, mirroring the reference's per-thread
-    Stats merged at end, seprocessor.cpp:108-121)."""
-    shape = (flat_side_len(L),)
+    """Zeroed accumulator: ONE [2, F] int32 array per bucket (row 0 = pre,
+    row 1 = post) so the end-of-run drain is a single d2h per bucket.
+    n_dev adds a leading per-device axis (sharded mesh mode — each device
+    accumulates its own partial, the host sums at drain, mirroring the
+    reference's per-thread Stats merged at end, seprocessor.cpp:108-121)."""
+    shape = (2, flat_side_len(L))
     if n_dev is not None:
         shape = (n_dev,) + shape
-    return {"pre": jnp.zeros(shape, jnp.int32),
-            "post": jnp.zeros(shape, jnp.int32)}
+    return jnp.zeros(shape, jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -400,12 +420,28 @@ def init_stats_state(L):
     return zero_stats_state(L)
 
 
-def _acc(state_side, partial):
-    """Accumulate a batch partial (dict of arrays) into the flat side
-    vector; broadcasting covers both the [F] single-device state and the
-    [1, F] per-device shard seen inside shard_map."""
-    flat = jnp.concatenate([partial[k].ravel() for k in _STAT_KEYS])
-    return state_side + flat
+def _flat_partial(partial, stat_L):
+    """One batch partial (dict of arrays) as a flat [F] vector in the
+    drain layout (q20/q30 reduced to per-base totals on device).
+
+    Cycle arrays are zero-padded from the batch's bucket length L to the
+    GLOBAL stat length stat_L so every bucket accumulates into one shared
+    [2, F] state — drained with a single end-of-run fetch instead of one
+    per bucket (halves the d2h volume again: bucket lengths sum to ~2x
+    the longest)."""
+    L = partial["cycle_total_base"].shape[0]
+    pad2 = ((0, 0), (0, stat_L - L))
+    pad1 = ((0, stat_L - L),)
+    return jnp.concatenate([
+        jnp.pad(partial["cycle_content"], pad2).ravel(),
+        jnp.pad(partial["cycle_qual"], pad2).ravel(),
+        jnp.pad(partial["cycle_total_base"], pad1),
+        jnp.pad(partial["cycle_total_qual"], pad1),
+        jnp.sum(partial["cycle_q20"], axis=1),
+        jnp.sum(partial["cycle_q30"], axis=1),
+        partial["base_qual_hist"],
+        partial["kmer"],
+    ])
 
 
 def packed_fields(opt):
@@ -509,12 +545,16 @@ def make_fast_fn(opt, with_stats=True):
             return outbuf
         return fast_nostats, stages
 
+    SL = global_stat_len()
+
     def fast(state, outbuf, slot, packed_in):
         out, outbuf = core(outbuf, slot, packed_in)
-        state = {"pre": _acc(state["pre"], out["pre"]),
-                 "post": state["post"]}
-        for post in out["posts"]:
-            state["post"] = _acc(state["post"], post)
+        post = _flat_partial(out["posts"][0], SL)
+        for p in out["posts"][1:]:
+            post = post + _flat_partial(p, SL)
+        # stack broadcasts against state of [2, F] (single device) or
+        # [1, 2, F] (the per-device shard seen inside shard_map)
+        state = state + jnp.stack([_flat_partial(out["pre"], SL), post])
         return state, outbuf
 
     return fast, stages
@@ -554,7 +594,7 @@ _step_cache = {}
 
 def get_fast_step(opt, mesh=None, with_stats=True):
     """Cached build_fast_step (or its sharded variant when mesh is given)."""
-    key = (_freeze(kernel_params(opt)), mesh, with_stats)
+    key = (_freeze(kernel_params(opt)), mesh, with_stats, global_stat_len())
     if key not in _step_cache:
         if mesh is None:
             _step_cache[key] = build_fast_step(opt, with_stats)

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from ..common import PASS_FILTER, FETCH_GROUP
 from .device import build_fast_step, init_stats_state, out_cap, \
-    unflatten_side, _FLAT_EXTRA
+    unflatten_side, _FLAT_EXTRA, _FLAT_PER_L, global_stat_len
 
 
 class PackedResults:
@@ -46,30 +46,26 @@ class PackedResults:
 
 
 class Bucket:
-    """Device-resident per-bucket state: stat accumulators (donated carry)
-    plus the output ring buffer and the list of batches awaiting fetch."""
+    """Per-bucket device residue: the output ring buffer and the list of
+    batches awaiting fetch.  (Stat accumulators are GLOBAL — one shared
+    [2, F] state across buckets, see DeviceStats.)"""
 
-    __slots__ = ("state", "outbuf", "pending", "stat_batches")
+    __slots__ = ("outbuf", "pending")
 
     def __init__(self, L, B, F, placement=None, with_stats=True):
         outbuf = np.zeros((FETCH_GROUP, B, F), np.int32)
-        if not with_stats:
-            # monster bucket: spans/verdicts on device, stats on the host
-            # (pipeline/host_stats.py) — no resident accumulators
-            self.state = None
-            self.outbuf = jax.device_put(outbuf)
-        elif placement is None:
-            self.state = init_stats_state(L)
+        if placement is None or not with_stats:
             self.outbuf = jax.device_put(outbuf)
         else:
-            self.state = placement.init_state(L)
             self.outbuf = placement.put_outbuf(outbuf)
         self.pending = []      # batches dispatched, not yet fetched
-        self.stat_batches = 0
 
 
 class DeviceStats:
-    """Per-bucket device-resident accumulators with periodic drain."""
+    """One donated device-resident [2, F] stat accumulator shared by every
+    bucket (batch partials are zero-padded to the global stat length on
+    device), drained with a single sliced fetch — d2h bytes and RTTs are
+    the scarce resource on this interconnect."""
 
     # drain long before any int32 accumulator can overflow: per batch a
     # cycle-qual cell grows by <= B*93 (~400k), so ~5000 batches are safe
@@ -78,6 +74,8 @@ class DeviceStats:
     def __init__(self, placement=None):
         self.placement = placement   # MeshPlacement in mesh mode, else None
         self.buckets = {}      # L -> Bucket
+        self.state = None      # created on first with-stats batch
+        self.stat_batches = 0
         self.drained = {"pre": [], "post": []}  # list of numpy dicts
 
     def bucket(self, L, B, F, with_stats=True):
@@ -87,48 +85,64 @@ class DeviceStats:
             self.buckets[L] = b
         return b
 
-    def note_batch(self, L):
-        b = self.buckets[L]
-        if b.state is None:
-            return
-        b.stat_batches += 1
-        if b.stat_batches >= self.DRAIN_EVERY:
-            self._drain_stats(b)
+    def ensure_state(self):
+        if self.state is None:
+            L = global_stat_len()
+            self.state = (init_stats_state(L) if self.placement is None
+                          else self.placement.init_state(L))
+        return self.state
 
-    def _fetch_side(self, side, L):
-        """Fetch one flat side vector (sliced under the interconnect's
-        ~4-8MB large-transfer collapse threshold) and split it into the
+    def note_batch(self, L):
+        self.stat_batches += 1
+        if self.stat_batches >= self.DRAIN_EVERY:
+            self._drain_stats()
+
+    def _fetch_state(self, state, L):
+        """Fetch the [2, F] state (sliced under the interconnect's ~4-8MB
+        large-transfer collapse threshold) and split each side into the
         named arrays.
 
-        In mesh mode the vector carries a leading per-device axis of
+        In mesh mode the state carries a leading per-device axis of
         partials: fetch and sum over it (Stats::merge's collective-free
         equivalent — per-read work never crossed devices, so the only
         reduction in the whole pipeline happens here, on the host)."""
         if self.placement is not None:
-            flat = np.asarray(side).sum(axis=0)
-        elif side.size * 4 > (4 << 20):
-            step = (4 << 20) // 4
-            flat = np.concatenate(
-                [np.asarray(side[i:i + step])
-                 for i in range(0, side.shape[0], step)])
+            flat = np.asarray(state).sum(axis=0)
+        elif state.size * 4 > (12 << 20):
+            # stay under the interconnect's very-large-transfer collapse
+            # (~16MB) but otherwise prefer ONE fetch — per-fetch latency
+            # dominates in degraded phases
+            step = (12 << 20) // 4
+            rows = []
+            for r in range(2):
+                rows.append(np.concatenate(
+                    [np.asarray(state[r, i:i + step])
+                     for i in range(0, state.shape[-1], step)]))
+            flat = np.stack(rows)
         else:
-            flat = np.asarray(side)
-        return unflatten_side(flat, L)
+            flat = np.asarray(state)
+        return unflatten_side(flat[0], L), unflatten_side(flat[1], L)
 
-    def _drain_stats(self, b):
-        st = b.state
-        L = (st["pre"].shape[-1] - _FLAT_EXTRA) // 34
-        self.drained["pre"].append(self._fetch_side(st["pre"], L))
-        self.drained["post"].append(self._fetch_side(st["post"], L))
+    def _drain_stats(self):
+        L = (self.state.shape[-1] - _FLAT_EXTRA) // _FLAT_PER_L
+        pre, post = self._fetch_state(self.state, L)
+        self.drained["pre"].append(pre)
+        self.drained["post"].append(post)
         if self.placement is None:
-            b.state = init_stats_state(L)
+            self.state = init_stats_state(L)
         else:
-            b.state = self.placement.init_state(L)
-        b.stat_batches = 0
+            self.state = self.placement.init_state(L)
+        self.stat_batches = 0
+
+    def consume_flat(self, state_np):
+        """Accept a host copy of the [2, F] state that rode along in a
+        combined drain transfer (runner._flush_pending_groups(final=True))."""
+        L = (state_np.shape[-1] - _FLAT_EXTRA) // _FLAT_PER_L
+        self.drained["pre"].append(unflatten_side(state_np[0], L))
+        self.drained["post"].append(unflatten_side(state_np[1], L))
 
     def finish(self):
         """Drain everything; returns (pre_partials, post_partials) lists."""
-        for b in self.buckets.values():
-            if b.state is not None and b.stat_batches:
-                self._drain_stats(b)
+        if self.state is not None and self.stat_batches:
+            self._drain_stats()
         return self.drained["pre"], self.drained["post"]

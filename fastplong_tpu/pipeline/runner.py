@@ -60,6 +60,19 @@ _SLOT_FIELDS = ("out_lo", "out_hi", "out_tag", "region_no", "is_parent",
                 "mask_lo", "mask_hi", "code", "passed")
 
 
+def _fetch_np(arr):
+    """d2h with very-large transfers sliced — the link collapses above
+    ~16MB per transfer, so stay under it while minimizing fetch count."""
+    nbytes = arr.size * arr.dtype.itemsize
+    if nbytes <= (12 << 20):
+        return np.asarray(arr)
+    flat = arr.reshape(-1)
+    step = (12 << 20) // arr.dtype.itemsize
+    out = np.concatenate([np.asarray(flat[i:i + step])
+                          for i in range(0, flat.shape[0], step)])
+    return out.reshape(arr.shape)
+
+
 class BlockResults:
     """Per-record result arrays for one RecordBlock."""
 
@@ -88,9 +101,16 @@ class BlockResults:
 
 class SingleEndRunner:
     # pipeline depth knobs (class-level so stress tests can shrink them):
-    # fetch groups allowed in flight / blocks held before forcing a flush
+    # combined fetches allowed in flight; held-block low watermark (kick a
+    # background fetch) and high watermark (block until drained).  The
+    # watermarks are deliberately deep (~8MB parsed input per block): on
+    # this interconnect the FIRST d2h permanently degrades the process's
+    # dispatch latency ~25x, so deferring it as long as host memory allows
+    # keeps the whole dispatch phase in the fast mode — most inputs under
+    # ~1.5GB never fetch mid-run at all.
     MAX_IN_FLIGHT = 3
-    MAX_BLOCKS_PENDING = 8
+    FLUSH_BLOCKS = int(_os.environ.get("FASTPLONG_FLUSH_BLOCKS", 160))
+    MAX_BLOCKS_PENDING = int(_os.environ.get("FASTPLONG_MAX_BLOCKS", 192))
 
     def __init__(self, opt, mesh=None):
         self.opt = opt
@@ -212,14 +232,24 @@ class SingleEndRunner:
                     pos += k
                     if b.full:
                         self._dispatch(b.take_batch())
-            # rare buckets may never fill a fetch group; bound the number of
-            # blocks held alive by flushing partial groups when behind
-            if len(self._block_queue) > self._max_blocks_pending:
+            # held-block watermarks bound host memory while keeping d2h
+            # round trips rare and big: at the LOW mark kick one combined
+            # background fetch (overlaps further parsing); at the HIGH
+            # mark block until everything drains and emits
+            if (len(self._block_queue) >= self.FLUSH_BLOCKS
+                    and not self._in_flight):
                 self._flush_pending_groups()
+            if len(self._block_queue) > self._max_blocks_pending:
+                while self._in_flight:
+                    self._drain_one()
+                if len(self._block_queue) > self._max_blocks_pending:
+                    self._flush_pending_groups()
+                    while self._in_flight:
+                        self._drain_one()
         for b in self._builders.values():
             if b.count:
                 self._dispatch(b.take_batch())
-        self._flush_pending_groups()
+        self._flush_pending_groups(final=True)
         while self._in_flight:
             self._drain_one()
         assert not self._block_queue, "incomplete blocks at EOF"
@@ -275,47 +305,74 @@ class SingleEndRunner:
         else:
             xin = (self.placement.put_input(batch.packed) if self.placement
                    else jax.numpy.asarray(batch.packed))
-            bs.state, bs.outbuf = self.step(bs.state, bs.outbuf, slot, xin)
+            state = self.device_stats.ensure_state()
+            state, bs.outbuf = self.step(state, bs.outbuf, slot, xin)
+            self.device_stats.state = state
+            self.device_stats.note_batch(batch.L)
         batch.packed = None  # release the host-side feed buffer
         bs.pending.append(batch)
-        self.device_stats.note_batch(batch.L)
         self.timer.add("dispatch", time.perf_counter() - t0)
         if len(bs.pending) >= FETCH_GROUP:
-            self._flush_group(bs)
+            # a full ring forces a drain; take every bucket's pending
+            # batches along in the same single transfer (fetch count is
+            # the scarce resource, not bytes)
+            self._flush_pending_groups()
         while len(self._in_flight) > self._max_in_flight:
             self._drain_one()
 
-    def _flush_group(self, bs):
-        batches = bs.pending
-        bs.pending = []
-        self._in_flight.append(
-            (batches, self._fetcher.submit(np.asarray, bs.outbuf)))
+    def _flush_pending_groups(self, final=False):
+        """Flush every bucket's pending batches as ONE combined transfer.
 
-    def _flush_pending_groups(self):
+        Each d2h through this interconnect pays a large, weather-dependent
+        fixed latency (seconds in degraded phases), so every drain — ring
+        full, too many blocks held, end of input — concatenates all
+        buckets' partial groups device-side (cheap copies) and fetches a
+        single flat array, split again on the host.  The end-of-input
+        drain (final=True) rides the statistics state along in the same
+        transfer."""
+        groups = []
+        parts = []
         for bs in self.device_stats.buckets.values():
-            if bs.pending:
-                self._flush_group(bs)
+            if not bs.pending:
+                continue
+            buf = (bs.outbuf if len(bs.pending) >= FETCH_GROUP
+                   else bs.outbuf[:len(bs.pending)])
+            groups.append((bs.pending, buf.shape))
+            parts.append(buf.reshape(-1))
+            bs.pending = []
+        ds = self.device_stats
+        if (final and ds.placement is None and ds.state is not None
+                and ds.stat_batches):
+            groups.append(("stats", ds.state.shape))
+            parts.append(ds.state.reshape(-1))
+            ds.state = None
+            ds.stat_batches = 0
+        if not groups:
+            return
+        if len(parts) == 1:
+            combined = parts[0].reshape(groups[0][1])
+        else:
+            import jax.numpy as jnp
+            combined = jnp.concatenate(parts)
+        self._in_flight.append(
+            (groups, self._fetcher.submit(_fetch_np, combined)))
 
     def _drain_one(self):
-        batches, fut = self._in_flight.pop(0)
+        groups, fut = self._in_flight.pop(0)
         t0 = time.perf_counter()
-        group = fut.result()  # [K, B, F]; rows beyond len(batches) stale
+        flat = fut.result()
         self.timer.add("fetch_wait", time.perf_counter() - t0)
         t0 = time.perf_counter()
-        for j, batch in enumerate(batches):
-            out = PackedResults(group[j], self.cap, len(self.stages))
-            if batch.L > self.stat_cap:
-                self._host_stat_batch(out, batch)
-            order = np.full(len(batch.lens), 1 << 60, np.int64)
-            for seg in batch.segments:
-                order[seg.row_start:seg.row_start + len(seg.indices)] = (
-                    seg.block.first_index + seg.indices)
-            self._accumulate(out, batch, order)
-            for seg in batch.segments:
-                rows = slice(seg.row_start, seg.row_start + len(seg.indices))
-                entry = self._find_block(seg.block)
-                entry[1].scatter_rows(seg.indices, out, rows)
-                entry[2] -= len(seg.indices)
+        off = 0
+        for batches, shape in groups:
+            n = int(np.prod(shape))
+            group = flat.reshape(-1)[off:off + n].reshape(shape)
+            off += n
+            if batches == "stats":
+                self.device_stats.consume_flat(group)
+                continue
+            for j, batch in enumerate(batches):
+                self._consume_batch(group[j], batch)
         self.timer.add("accumulate", time.perf_counter() - t0)
         # emit completed blocks from the head (input order)
         while self._block_queue and self._block_queue[0][2] == 0:
@@ -323,6 +380,22 @@ class SingleEndRunner:
             t0 = time.perf_counter()
             self._emit(block, res)
             self.timer.add("emit", time.perf_counter() - t0, block.n)
+
+    def _consume_batch(self, rows, batch):
+        """Decode one batch's packed rows and route the results."""
+        out = PackedResults(rows, self.cap, len(self.stages))
+        if batch.L > self.stat_cap:
+            self._host_stat_batch(out, batch)
+        order = np.full(len(batch.lens), 1 << 60, np.int64)
+        for seg in batch.segments:
+            order[seg.row_start:seg.row_start + len(seg.indices)] = (
+                seg.block.first_index + seg.indices)
+        self._accumulate(out, batch, order)
+        for seg in batch.segments:
+            rows_sl = slice(seg.row_start, seg.row_start + len(seg.indices))
+            entry = self._find_block(seg.block)
+            entry[1].scatter_rows(seg.indices, out, rows_sl)
+            entry[2] -= len(seg.indices)
 
     def _host_stat_batch(self, out, batch):
         """Host statRead for one monster batch (its device step is

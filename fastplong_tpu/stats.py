@@ -73,11 +73,22 @@ class Stats:
         self.buf_len = new_len
 
     def add_device_partial(self, partial):
-        """Accumulate device tensors (cycle arrays, qual hist, kmer)."""
+        """Accumulate device tensors (cycle arrays, qual hist, kmer).
+
+        Device drains reduce Q20/Q30 to per-base totals ("q20_totals";
+        nothing reads them at cycle resolution — summarize() only sums,
+        stats.py:137-138).  They are folded into cycle 0, which leaves
+        every consumer (sum over cycles) and merge() exact.  Host-side
+        partials (monster reads, oracle tests) still deliver the full
+        [8, L] arrays."""
         L = partial["cycle_total_base"].shape[0]
         self._ensure(L)
-        self.cycle_q20[:, :L] += partial["cycle_q20"]
-        self.cycle_q30[:, :L] += partial["cycle_q30"]
+        if "q20_totals" in partial:
+            self.cycle_q20[:, 0] += partial["q20_totals"]
+            self.cycle_q30[:, 0] += partial["q30_totals"]
+        else:
+            self.cycle_q20[:, :L] += partial["cycle_q20"]
+            self.cycle_q30[:, :L] += partial["cycle_q30"]
         self.cycle_content[:, :L] += partial["cycle_content"]
         self.cycle_qual[:, :L] += partial["cycle_qual"]
         self.cycle_total_base[:L] += partial["cycle_total_base"]

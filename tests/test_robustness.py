@@ -54,6 +54,7 @@ def test_pipeline_stress_tiny_queues(tmp_path, monkeypatch):
     from fastplong_tpu.pipeline import runner as runner_mod
     monkeypatch.setattr(runner_mod, "FETCH_GROUP", 1)
     monkeypatch.setattr(runner_mod.SingleEndRunner, "MAX_IN_FLIGHT", 0)
+    monkeypatch.setattr(runner_mod.SingleEndRunner, "FLUSH_BLOCKS", 1)
     monkeypatch.setattr(runner_mod.SingleEndRunner, "MAX_BLOCKS_PENDING", 1)
     fq = write_random_fastq(str(tmp_path / "in.fq"), n_reads=400,
                             min_len=30, max_len=900, seed=77,
