@@ -9,12 +9,15 @@ output writing), and reports bases/s against the BASELINE.json target of
 Prints ONE JSON line with the headline metric plus secondary profiles:
   value                    end-to-end bases/s, plain FASTQ input (headline)
   device_step_*            resident device-step rate (no host/transfer)
+  h2d_step_*               h2d + step per batch, no fetches (dispatch phase)
+  host_stats_*             --stats_backend host (native host statRead)
   gz_*                     same input gzip-compressed (native inflate path)
   short_*                  mean-1kb reads (stresses per-record host cost)
   stage_seconds            host pipeline stage breakdown of the timed run
 
-Env knobs: FASTPLONG_BENCH_PROFILES=plain,gz,short  FASTPLONG_BENCH_DEVICES=1
-(comma list; >1 entries adds a "scaling" table when enough devices exist).
+Env knobs: FASTPLONG_BENCH_PROFILES=plain,host,gz,short
+FASTPLONG_BENCH_DEVICES=1 (comma list; >1 entries adds a "scaling" table
+when enough devices exist).
 """
 
 import json
@@ -63,13 +66,13 @@ def count_bases(path):
     return sum(len(lines[i]) for i in range(1, len(lines), 4))
 
 
-def build_opt(in_fq, workdir, tag, devices=1):
+def build_opt(in_fq, workdir, tag, devices=1, extra=()):
     from fastplong_tpu.main import build_parser, options_from_args
     out_fq = os.path.join(workdir, "bench_out_%s.fq" % tag)
     argv = ["fastplong", "-i", in_fq, "-o", out_fq,
             "-j", os.path.join(workdir, "bench_%s.json" % tag),
             "-h", os.path.join(workdir, "bench_%s.html" % tag),
-            "-s", START, "-e", END, "-5", "-3", "-x"]
+            "-s", START, "-e", END, "-5", "-3", "-x"] + list(extra)
     if devices > 1:
         argv += ["--devices", str(devices)]
     args = build_parser().parse_args(argv[1:])
@@ -78,10 +81,10 @@ def build_opt(in_fq, workdir, tag, devices=1):
     return opt
 
 
-def timed_run(in_fq, workdir, tag, devices=1):
+def timed_run(in_fq, workdir, tag, devices=1, extra=()):
     """One timed end-to-end pass; returns (seconds, runner)."""
     from fastplong_tpu.pipeline.runner import SingleEndRunner
-    opt = build_opt(in_fq, workdir, tag, devices)
+    opt = build_opt(in_fq, workdir, tag, devices, extra)
     t0 = time.time()
     runner = SingleEndRunner(opt)
     runner.timer.add("runner_init", time.time() - t0)
@@ -90,10 +93,20 @@ def timed_run(in_fq, workdir, tag, devices=1):
 
 
 def main():
+    # honor JAX_PLATFORMS even under plugins that ignore the env var (the
+    # axon TPU plugin claims the process regardless) — needed for the
+    # virtual-CPU-mesh scaling table
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat:
+        import jax
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
     workdir = os.environ.get("FASTPLONG_BENCH_DIR", "/tmp/fastplong_bench")
     os.makedirs(workdir, exist_ok=True)
     profiles = os.environ.get(
-        "FASTPLONG_BENCH_PROFILES", "plain,gz,short").split(",")
+        "FASTPLONG_BENCH_PROFILES", "plain,host,gz,short").split(",")
     in_fq = os.path.join(workdir, "bench_in.fq")
     if not os.path.exists(in_fq):
         gen_input(in_fq)
@@ -146,6 +159,16 @@ def main():
             best = max(rates)
             result["cpu_anchor_bases_per_second"] = best
             result["vs_cpu_anchor"] = round(value / best, 4)
+
+    if "host" in profiles:
+        # host-statistics backend: the stats-free device step + native
+        # host statRead — avoids shipping the stat accumulators d2h
+        extra = ("--stats_backend", "host")
+        timed_run(in_fq, workdir, "host_warm", extra=extra)
+        dt_h, runner_h = timed_run(in_fq, workdir, "host", extra=extra)
+        result["host_stats_bases_per_second"] = round(total_bases / dt_h, 1)
+        result["host_stats_wall_seconds"] = round(dt_h, 3)
+        result["host_stats_stage_seconds"] = runner_h.timer.report()
 
     if "gz" in profiles:
         in_gz = in_fq + ".gz"

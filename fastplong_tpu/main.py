@@ -3,6 +3,7 @@
 """
 
 import argparse
+import os
 import sys
 import time
 
@@ -177,6 +178,13 @@ def build_parser():
       help="write a jax.profiler trace of the run to this directory "
            "(TPU-native extension; view with tensorboard/xprof), disabled "
            "by default")
+    a("--stats_backend", choices=["device", "host"],
+      default=os.environ.get("FASTPLONG_STATS", "device"),
+      help="where run statistics accumulate (TPU-native extension): "
+           "'device' keeps donated on-device accumulators drained once at "
+           "end of run; 'host' computes them in a native host pass per "
+           "batch — preferable when the device link is slow. Identical "
+           "output either way. Default device (env FASTPLONG_STATS)")
     # TPU-native extension: shard ONE plain FASTQ across hosts by
     # record-aligned byte ranges (multihost.py); each host writes
     # 000N.-prefixed outputs + a stats partial, reports merge via DCN
@@ -216,6 +224,7 @@ def options_from_args(args, argv):
     opt.output_to_stdout = args.stdout
     opt.verbose = args.verbose
     opt.profile_dir = args.profile
+    opt.stats_backend = args.stats_backend
 
     opt.adapter.enabled = not args.disable_adapter_trimming
     opt.adapter.sequence_start = args.start_adapter

@@ -62,6 +62,12 @@ def get_lib():
     lib.fpl_emit_pieces.restype = None
     lib.fpl_emit_pieces.argtypes = [
         ctypes.c_void_p, i64p, i64p, ctypes.c_int64, ctypes.c_void_p]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.fpl_stat_rows.restype = None
+    lib.fpl_stat_rows.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        i64p, i64p, i64p, i64p, u8p, ctypes.c_int64,
+        i64p, i64p, i64p, i64p, i64p, u8p]
     szp = ctypes.POINTER(ctypes.c_size_t)
     lib.fpl_gzip_decompress_member.restype = ctypes.c_int
     lib.fpl_gzip_decompress_member.argtypes = [
@@ -126,6 +132,32 @@ def emit_pieces(src, offs, lens, total):
         _as_i64_ptr(lens), len(offs),
         out.ctypes.data_as(ctypes.c_void_p))
     return out.tobytes()
+
+
+def stat_rows(packed, L, lo, hi, mlo, mhi, rowmask,
+              cyc, q20, q30, hist, kmer, medians):
+    """Native statRead over packed rows into the given int64 accumulators
+    (drain layout).  Returns False if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+
+    def i64(a):
+        return (_as_i64_ptr(np.ascontiguousarray(a, np.int64))
+                if a is not None else None)
+
+    lib.fpl_stat_rows(
+        packed.ctypes.data_as(ctypes.c_void_p),
+        packed.shape[0], packed.shape[1], L,
+        i64(lo), i64(hi), i64(mlo), i64(mhi),
+        (np.ascontiguousarray(rowmask, np.uint8).ctypes.data_as(u8p)
+         if rowmask is not None else None),
+        cyc.shape[0] // 18,
+        _as_i64_ptr(cyc), _as_i64_ptr(q20), _as_i64_ptr(q30),
+        _as_i64_ptr(hist), _as_i64_ptr(kmer),
+        medians.ctypes.data_as(u8p))
+    return True
 
 
 def gzip_decompress_member(data, offset: int, cap_hint: int):

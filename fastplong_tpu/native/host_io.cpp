@@ -183,4 +183,90 @@ size_t fpl_gzip_compress(const void* data, size_t n, void* out,
     return libdeflate_gzip_compress(g_comp, data, n, out, out_cap);
 }
 
+// ---------------------------------------------------------------- stats
+
+// Host statRead over packed-batch rows (reference Stats::statRead,
+// src/stats.cpp:265-375; numerically identical to the device reduction in
+// ops/stats_kernels.stat_batch).  Used by the host-statistics mode, where
+// shipping the per-cycle accumulators over a weak device link would cost
+// more than recomputing them here at memory speed.
+//
+// packed row layout (pipeline/device.pack_input): bases[0:L], quals[L:2L],
+// little-endian length at 2L, row-valid byte at 2L+4; stride = 2L+8.
+// Span per row: [lo[i], hi[i]) in read coordinates; bases inside
+// [mlo[i], mhi[i]) are treated as 'N' (maskRegionWithN semantics) without
+// touching qualities.  Cycle c of the span is position lo+c.
+//
+// Accumulators: cyc[Lacc*18] position-major int64 (per cycle: content[8],
+// qual_sum[8], total_base, total_qual — the drain layout of
+// pipeline/device.unflatten_side), q20/q30[8] per-base totals, hist[128],
+// kmer[1024].  medians[i] gets the span's sorted[n>>1] quality byte.
+void fpl_stat_rows(const uint8_t* packed, int64_t nrows, int64_t stride,
+                   int64_t L,
+                   const int64_t* lo, const int64_t* hi,
+                   const int64_t* mlo, const int64_t* mhi,
+                   const uint8_t* rowmask,
+                   int64_t Lacc,
+                   int64_t* cyc, int64_t* q20, int64_t* q30,
+                   int64_t* hist, int64_t* kmer, uint8_t* medians) {
+    static int8_t code[256];
+    static bool init = false;
+    if (!init) {
+        memset(code, -1, sizeof(code));
+        code[(unsigned char)'A'] = 0;
+        code[(unsigned char)'T'] = 1;
+        code[(unsigned char)'U'] = 1;
+        code[(unsigned char)'C'] = 2;
+        code[(unsigned char)'G'] = 3;
+        init = true;
+    }
+    for (int64_t i = 0; i < nrows; i++) {
+        medians[i] = 0;
+        if (rowmask && !rowmask[i]) continue;
+        const uint8_t* b = packed + i * stride;
+        const uint8_t* q = b + L;
+        int64_t s = lo ? lo[i] : 0;
+        int64_t e = hi[i];
+        if (e > L) e = L;
+        if (s < 0) s = 0;
+        if (e <= s) continue;
+        int64_t ms = mlo ? mlo[i] : 0;
+        int64_t me = mhi ? mhi[i] : 0;
+        uint32_t qh[256];
+        memset(qh, 0, sizeof(qh));
+        uint32_t key = 0;
+        int run = 0;
+        for (int64_t p = s; p < e; p++) {
+            uint8_t base = (p >= ms && p < me) ? (uint8_t)'N' : b[p];
+            int64_t qv = (int64_t)q[p] - 33;
+            int64_t* c18 = cyc + (p - s) * 18;
+            int bucket = base & 0x07;
+            c18[bucket] += 1;
+            c18[8 + bucket] += qv;
+            c18[16] += 1;
+            c18[17] += qv;
+            if (q[p] >= '5') q20[bucket] += 1;
+            if (q[p] >= '?') q30[bucket] += 1;
+            hist[q[p] < 127 ? q[p] : 127] += 1;
+            qh[q[p]] += 1;
+            int8_t cd = code[base];
+            if (cd < 0) {
+                run = 0;
+            } else {
+                key = ((key << 2) | (uint32_t)cd) & 0x3ff;
+                if (++run >= 5) kmer[key] += 1;
+            }
+        }
+        // median = sorted[n >> 1] (src/stats.cpp:351-362)
+        int64_t n = e - s;
+        int64_t want = (n >> 1) + 1;
+        int64_t cum = 0;
+        for (int v = 0; v < 256; v++) {
+            cum += qh[v];
+            if (cum >= want) { medians[i] = (uint8_t)v; break; }
+        }
+        (void)Lacc;
+    }
+}
+
 }  // extern "C"

@@ -62,7 +62,8 @@ class Segment:
 
 
 class Batch:
-    __slots__ = ("packed", "lens", "read_mask", "segments", "L")
+    __slots__ = ("packed", "lens", "read_mask", "segments", "L",
+                 "pre_medians")
 
     def __init__(self, packed, lens, read_mask, segments, L):
         self.packed = packed        # [B, 2L+8] uint8
@@ -70,6 +71,7 @@ class Batch:
         self.read_mask = read_mask  # [B] bool
         self.segments = segments
         self.L = L
+        self.pre_medians = None     # host-stats mode: per-row median bytes
 
 
 class BatchBuilder:

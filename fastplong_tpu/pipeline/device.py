@@ -342,17 +342,19 @@ _STAT_KEYS = ("cycle_q20", "cycle_q30", "cycle_content", "cycle_qual",
               "kmer")
 
 # Each statistic side lives on device as ONE flat int32 vector (layout
-# below): the end-of-run drain then costs one d2h transfer per bucket
-# instead of ~16 latency-bound small ones (every fetch pays a large fixed
-# RTT through the interconnect, and its bandwidth is at times catastrophic,
-# so BYTES FETCHED is the currency).  The per-(base,cycle) Q20/Q30 arrays
-# are reduced to per-base totals ON DEVICE — nothing downstream reads them
-# at cycle resolution (stats.py:137-138 only ever sums them), and dropping
-# them cuts the drain volume by ~47%.
-#   [0, 8L)       cycle_content  [8, L]
-#   [8L, 16L)     cycle_qual     [8, L]
-#   [16L, 17L)    cycle_total_base  [L]
-#   [17L, 18L)    cycle_total_qual  [L]
+# below): the end-of-run drain then costs one d2h transfer total (every
+# fetch pays a large fixed RTT through the interconnect, and its bandwidth
+# is at times catastrophic, so BYTES FETCHED is the currency).  The
+# per-(base,cycle) Q20/Q30 arrays are reduced to per-base totals ON DEVICE
+# — nothing downstream reads them at cycle resolution (stats.py:137-138
+# only ever sums them), which cuts the drain volume by ~47%.  The cycle
+# block is POSITION-MAJOR ([L, 18]: 18 stat values per cycle) so the drain
+# can be trimmed to the longest read actually seen — cycles beyond it are
+# provably zero.
+#   [0, 18L)      cycle block [L, 18] = per cycle:
+#                   [0:8]  content per base bucket
+#                   [8:16] quality sum per base bucket
+#                   [16]   total bases   [17] total quality
 #   [18L, +8)     q20_totals [8]   (per-base totals)
 #   [+8, +16)     q30_totals [8]
 #   [+16, +144)   base_qual_hist [128]
@@ -377,15 +379,15 @@ def global_stat_len():
 
 
 def unflatten_side(flat, L):
-    """Split one fetched flat side vector into the named numpy arrays."""
+    """Split one fetched flat side vector into the named numpy arrays.
+    L is the cycle count of the (possibly trimmed) cycle block."""
     out = {}
-    o = 0
-    for k in ("cycle_content", "cycle_qual"):
-        out[k] = flat[o:o + 8 * L].reshape(8, L)
-        o += 8 * L
-    for k in ("cycle_total_base", "cycle_total_qual"):
-        out[k] = flat[o:o + L]
-        o += L
+    cyc = flat[:18 * L].reshape(L, 18)
+    out["cycle_content"] = cyc[:, 0:8].T.copy()
+    out["cycle_qual"] = cyc[:, 8:16].T.copy()
+    out["cycle_total_base"] = cyc[:, 16].copy()
+    out["cycle_total_qual"] = cyc[:, 17].copy()
+    o = 18 * L
     out["q20_totals"] = flat[o:o + 8]
     o += 8
     out["q30_totals"] = flat[o:o + 8]
@@ -422,21 +424,24 @@ def init_stats_state(L):
 
 def _flat_partial(partial, stat_L):
     """One batch partial (dict of arrays) as a flat [F] vector in the
-    drain layout (q20/q30 reduced to per-base totals on device).
+    drain layout (position-major cycle block; q20/q30 reduced to per-base
+    totals on device).
 
-    Cycle arrays are zero-padded from the batch's bucket length L to the
+    The cycle block is zero-padded from the batch's bucket length L to the
     GLOBAL stat length stat_L so every bucket accumulates into one shared
     [2, F] state — drained with a single end-of-run fetch instead of one
     per bucket (halves the d2h volume again: bucket lengths sum to ~2x
     the longest)."""
     L = partial["cycle_total_base"].shape[0]
-    pad2 = ((0, 0), (0, stat_L - L))
-    pad1 = ((0, stat_L - L),)
+    cyc = jnp.concatenate([
+        partial["cycle_content"].T,            # [L, 8]
+        partial["cycle_qual"].T,               # [L, 8]
+        partial["cycle_total_base"][:, None],
+        partial["cycle_total_qual"][:, None],
+    ], axis=1)                                 # [L, 18]
+    cyc = jnp.pad(cyc, ((0, stat_L - L), (0, 0)))
     return jnp.concatenate([
-        jnp.pad(partial["cycle_content"], pad2).ravel(),
-        jnp.pad(partial["cycle_qual"], pad2).ravel(),
-        jnp.pad(partial["cycle_total_base"], pad1),
-        jnp.pad(partial["cycle_total_qual"], pad1),
+        cyc.ravel(),
         jnp.sum(partial["cycle_q20"], axis=1),
         jnp.sum(partial["cycle_q30"], axis=1),
         partial["base_qual_hist"],

@@ -76,6 +76,7 @@ class DeviceStats:
         self.buckets = {}      # L -> Bucket
         self.state = None      # created on first with-stats batch
         self.stat_batches = 0
+        self.max_seen = 0      # longest device-statted read (trims drains)
         self.drained = {"pre": [], "post": []}  # list of numpy dicts
 
     def bucket(self, L, B, F, with_stats=True):
@@ -92,10 +93,26 @@ class DeviceStats:
                           else self.placement.init_state(L))
         return self.state
 
-    def note_batch(self, L):
+    def note_batch(self, L, longest=0):
         self.stat_batches += 1
+        if longest > self.max_seen:
+            self.max_seen = int(longest)
         if self.stat_batches >= self.DRAIN_EVERY:
             self._drain_stats()
+
+    def trimmed_state(self):
+        """The [.., 2, F'] state with the cycle block cut at the longest
+        read seen — cycles beyond it are provably zero, and drained BYTES
+        are the scarce resource.  One cheap device op when trimming."""
+        st = self.state
+        SL = (st.shape[-1] - _FLAT_EXTRA) // _FLAT_PER_L
+        m = max(1, min(SL, self.max_seen))
+        if m >= SL:
+            return st
+        import jax.numpy as jnp
+        return jnp.concatenate(
+            [st[..., :_FLAT_PER_L * m], st[..., _FLAT_PER_L * SL:]],
+            axis=-1)
 
     def _fetch_state(self, state, L):
         """Fetch the [2, F] state (sliced under the interconnect's ~4-8MB
@@ -124,14 +141,16 @@ class DeviceStats:
         return unflatten_side(flat[0], L), unflatten_side(flat[1], L)
 
     def _drain_stats(self):
-        L = (self.state.shape[-1] - _FLAT_EXTRA) // _FLAT_PER_L
-        pre, post = self._fetch_state(self.state, L)
+        SL = (self.state.shape[-1] - _FLAT_EXTRA) // _FLAT_PER_L
+        st = self.trimmed_state()
+        m = (st.shape[-1] - _FLAT_EXTRA) // _FLAT_PER_L
+        pre, post = self._fetch_state(st, m)
         self.drained["pre"].append(pre)
         self.drained["post"].append(post)
         if self.placement is None:
-            self.state = init_stats_state(L)
+            self.state = init_stats_state(SL)
         else:
-            self.state = self.placement.init_state(L)
+            self.state = self.placement.init_state(SL)
         self.stat_batches = 0
 
     def consume_flat(self, state_np):

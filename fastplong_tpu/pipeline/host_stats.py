@@ -95,6 +95,103 @@ class HostStatAccumulator:
         return self.p
 
 
+class BatchStatAccumulator:
+    """Vectorized/native statRead over whole packed batches — the host-
+    statistics mode (FASTPLONG_STATS=host).  On hosts with a weak device
+    link, shipping the per-cycle accumulators device->host costs more than
+    recomputing them here: the native single pass (native/host_io.cpp
+    fpl_stat_rows) runs at memory speed (~10ms per 8-Mbase batch).
+    Arithmetic is identical to ops/stats_kernels.stat_batch.  Partials are
+    produced in the drain layout (q20/q30 as per-base totals), consumed by
+    Stats.add_device_partial."""
+
+    def __init__(self, stat_L):
+        self.L = stat_L
+        self.cyc = np.zeros(stat_L * 18, np.int64)   # position-major [L,18]
+        self.q20 = np.zeros(8, np.int64)
+        self.q30 = np.zeros(8, np.int64)
+        self.hist = np.zeros(128, np.int64)
+        self.kmer = np.zeros(1024, np.int64)
+        self.max_seen = 0
+        self.used = False
+
+    def add_rows(self, packed, L, lo, hi, mlo, mhi, rowmask):
+        """Accumulate spans of a packed [B, 2L+8] batch; returns the
+        per-row median quality bytes."""
+        medians = np.zeros(packed.shape[0], np.uint8)
+        if hi is None or not len(hi):
+            return medians
+        self.used = True
+        m = int(np.max(np.where(np.asarray(rowmask, bool), hi, 0))
+                if rowmask is not None else hi.max())
+        if m > self.max_seen:
+            self.max_seen = min(m, self.L)
+        from ..native import stat_rows
+        if stat_rows(packed, L, lo, hi, mlo, mhi, rowmask,
+                     self.cyc, self.q20, self.q30, self.hist, self.kmer,
+                     medians):
+            return medians
+        self._numpy_rows(packed, L, lo, hi, mlo, mhi, rowmask, medians)
+        return medians
+
+    def _numpy_rows(self, packed, L, lo, hi, mlo, mhi, rowmask, medians):
+        """Pure-python fallback (slow; correctness only)."""
+        for i in range(packed.shape[0]):
+            if rowmask is not None and not rowmask[i]:
+                continue
+            s = int(lo[i]) if lo is not None else 0
+            e = min(int(hi[i]), L)
+            if e <= s:
+                continue
+            b = packed[i, :L]
+            q = packed[i, L:2 * L]
+            if mlo is not None:
+                seq = masked_span(b, s, e, mlo[i], mhi[i])
+            else:
+                seq = b[s:e]
+            qs = q[s:e]
+            n = e - s
+            bucket = seq & 0x07
+            pos = np.arange(n)
+            qv = qs.astype(np.int64) - 33
+            np.add.at(self.cyc, pos * 18 + bucket, 1)
+            np.add.at(self.cyc, pos * 18 + 8 + bucket, qv)
+            self.cyc[pos * 18 + 16] += 1
+            self.cyc[pos * 18 + 17] += qv
+            np.add.at(self.q20, bucket[qs >= Q20], 1)
+            np.add.at(self.q30, bucket[qs >= Q30], 1)
+            self.hist += np.bincount(np.minimum(qs, 127).astype(np.int64),
+                                     minlength=128)
+            if n >= 5:
+                code = _CODE[seq].astype(np.int64)
+                key = ((code[:-4] << 8) | (code[1:-3] << 6)
+                       | (code[2:-2] << 4) | (code[3:-1] << 2) | code[4:])
+                kvalid = ((code[:-4] >= 0) & (code[1:-3] >= 0)
+                          & (code[2:-2] >= 0) & (code[3:-1] >= 0)
+                          & (code[4:] >= 0))
+                if kvalid.any():
+                    self.kmer += np.bincount(key[kvalid], minlength=1024)
+            medians[i] = median_qual(qs)
+
+    def partial(self):
+        """Drain-layout partial dict for Stats.add_device_partial, trimmed
+        to the longest span seen; None if nothing was accumulated."""
+        if not self.used:
+            return None
+        m = max(1, self.max_seen)
+        cyc = self.cyc[:18 * m].reshape(m, 18)
+        return {
+            "cycle_content": cyc[:, 0:8].T.copy(),
+            "cycle_qual": cyc[:, 8:16].T.copy(),
+            "cycle_total_base": cyc[:, 16].copy(),
+            "cycle_total_qual": cyc[:, 17].copy(),
+            "q20_totals": self.q20,
+            "q30_totals": self.q30,
+            "base_qual_hist": self.hist,
+            "kmer": self.kmer,
+        }
+
+
 def median_qual(q):
     """sorted[len >> 1] (reference stats.cpp:351-362); 0 for empty."""
     n = len(q)

@@ -145,6 +145,21 @@ class SingleEndRunner:
         from .host_stats import HostStatAccumulator
         self._host_pre = HostStatAccumulator()
         self._host_post = HostStatAccumulator()
+        # host-statistics mode (--stats_backend host): every bucket runs
+        # the stats-free device step; statRead happens here in one native
+        # pass per batch.  Pays ~10ms/batch of host time to avoid shipping
+        # the stat accumulators over the device link — the right trade on
+        # hosts with weak links (single-device only; the mesh path keeps
+        # per-device partials).
+        self.host_stats_mode = (
+            getattr(opt, "stats_backend", "device") == "host"
+            and self.mesh is None)
+        if self.host_stats_mode:
+            from .host_stats import BatchStatAccumulator
+            from .device import global_stat_len
+            SL = min(global_stat_len(), 1 << 20)
+            self._batch_pre = BatchStatAccumulator(SL)
+            self._batch_post = BatchStatAccumulator(SL)
         self.out_writer = None
         self.failed_writer = None
         self.timer = StageTimer()
@@ -276,6 +291,13 @@ class SingleEndRunner:
             self.pre_stats.add_device_partial(self._host_pre.partial())
         if self._host_post.partial() is not None:
             self.post_stats.add_device_partial(self._host_post.partial())
+        if self.host_stats_mode:
+            p = self._batch_pre.partial()
+            if p is not None:
+                self.pre_stats.add_device_partial(p)
+            p = self._batch_post.partial()
+            if p is not None:
+                self.post_stats.add_device_partial(p)
 
         self.pre_stats.summarize()
         self.pre_stats.calc_length_histogram()
@@ -291,12 +313,15 @@ class SingleEndRunner:
     def _dispatch(self, batch):
         t0 = time.perf_counter()
         monster = batch.L > self.stat_cap
+        nostats = monster or self.host_stats_mode
         bs = self.device_stats.bucket(batch.L, batch.packed.shape[0],
-                                      self.n_fields, with_stats=not monster)
+                                      self.n_fields, with_stats=not nostats)
         slot = np.int32(len(bs.pending))
-        if monster:
-            # single-device stats-free step (mesh bypassed: monster batches
-            # are 1-few rows, sharding them would waste N-1 shards)
+        if nostats:
+            # stats-free device step: monster buckets (stats per-read on
+            # host) and host-statistics mode (stats per-batch below);
+            # monster batches also bypass the mesh — 1-few rows would
+            # waste N-1 shards
             if self._nostats_step is None:
                 self._nostats_step = get_fast_step(
                     self.opt, with_stats=False)[0]
@@ -308,8 +333,19 @@ class SingleEndRunner:
             state = self.device_stats.ensure_state()
             state, bs.outbuf = self.step(state, bs.outbuf, slot, xin)
             self.device_stats.state = state
-            self.device_stats.note_batch(batch.L)
-        batch.packed = None  # release the host-side feed buffer
+            self.device_stats.note_batch(batch.L, int(batch.lens.max()))
+        if self.host_stats_mode and not monster:
+            # pre-statRead in one native pass, overlapped with the async
+            # device dispatch above; packed stays alive for the post pass
+            # at drain time
+            ts = time.perf_counter()
+            batch.pre_medians = self._batch_pre.add_rows(
+                batch.packed, batch.L, None,
+                batch.lens.astype(np.int64), None, None,
+                batch.read_mask)
+            self.timer.add("host_stats", time.perf_counter() - ts)
+        else:
+            batch.packed = None  # release the host-side feed buffer
         bs.pending.append(batch)
         self.timer.add("dispatch", time.perf_counter() - t0)
         if len(bs.pending) >= FETCH_GROUP:
@@ -343,8 +379,9 @@ class SingleEndRunner:
         ds = self.device_stats
         if (final and ds.placement is None and ds.state is not None
                 and ds.stat_batches):
-            groups.append(("stats", ds.state.shape))
-            parts.append(ds.state.reshape(-1))
+            st = ds.trimmed_state()
+            groups.append(("stats", st.shape))
+            parts.append(st.reshape(-1))
             ds.state = None
             ds.stat_batches = 0
         if not groups:
@@ -386,6 +423,8 @@ class SingleEndRunner:
         out = PackedResults(rows, self.cap, len(self.stages))
         if batch.L > self.stat_cap:
             self._host_stat_batch(out, batch)
+        elif self.host_stats_mode:
+            self._host_post_batch(out, batch)
         order = np.full(len(batch.lens), 1 << 60, np.int64)
         for seg in batch.segments:
             order[seg.row_start:seg.row_start + len(seg.indices)] = (
@@ -396,6 +435,29 @@ class SingleEndRunner:
             entry = self._find_block(seg.block)
             entry[1].scatter_rows(seg.indices, out, rows_sl)
             entry[2] -= len(seg.indices)
+
+    def _host_post_batch(self, out, batch):
+        """Host-statistics mode: post-statRead per out-slot in one native
+        pass per slot, using the batch's still-live packed buffer; fills
+        pre/post medians in the decoded rows."""
+        t0 = time.perf_counter()
+        out.pre_median = batch.pre_medians
+        mask_on = self.mask_enabled
+        for c in range(self.cap):
+            pass_c = out.passed[:, c]
+            if not pass_c.any():
+                continue
+            med = self._batch_post.add_rows(
+                batch.packed, batch.L,
+                out.out_lo[:, c].astype(np.int64),
+                out.out_hi[:, c].astype(np.int64),
+                out.mask_lo[:, c].astype(np.int64) if mask_on else None,
+                out.mask_hi[:, c].astype(np.int64) if mask_on else None,
+                pass_c)
+            out.post_median[:, c] = np.where(pass_c, med,
+                                             out.post_median[:, c])
+        batch.packed = None
+        self.timer.add("host_stats", time.perf_counter() - t0)
 
     def _host_stat_batch(self, out, batch):
         """Host statRead for one monster batch (its device step is
