@@ -7,15 +7,18 @@ output writing), and reports bases/s against the BASELINE.json target of
 3 GB/s per chip.
 
 Prints ONE JSON line with the headline metric plus secondary profiles:
-  value                    end-to-end bases/s, plain FASTQ input (headline)
+  value                    end-to-end bases/s, plain FASTQ, default config
+                           (headline; --stats_backend auto)
   device_step_*            resident device-step rate (no host/transfer)
   h2d_step_*               h2d + step per batch, no fetches (dispatch phase)
-  host_stats_*             --stats_backend host (native host statRead)
+  device_stats_*           forced --stats_backend device
+  host_stats_*             forced --stats_backend host
   gz_*                     same input gzip-compressed (native inflate path)
   short_*                  mean-1kb reads (stresses per-record host cost)
   stage_seconds            host pipeline stage breakdown of the timed run
 
-Env knobs: FASTPLONG_BENCH_PROFILES=plain,host,gz,short
+Each profile runs in a fresh subprocess (first-d2h poisoning isolation).
+Env knobs: FASTPLONG_BENCH_PROFILES=plain,device,gz,short
 FASTPLONG_BENCH_DEVICES=1 (comma list; >1 entries adds a "scaling" table
 when enough devices exist).
 """
@@ -106,7 +109,38 @@ def main():
     workdir = os.environ.get("FASTPLONG_BENCH_DIR", "/tmp/fastplong_bench")
     os.makedirs(workdir, exist_ok=True)
     profiles = os.environ.get(
-        "FASTPLONG_BENCH_PROFILES", "plain,host,gz,short").split(",")
+        "FASTPLONG_BENCH_PROFILES", "plain,device,gz,short").split(",")
+    # each profile runs in a FRESH subprocess by default: device work in
+    # one profile degrades the interconnect for everything after it in the
+    # same process (first-d2h poisoning, see README), which would charge
+    # later profiles for earlier ones' transfers
+    if len(profiles) > 1 and os.environ.get("FASTPLONG_BENCH_CHILD") != "1":
+        import subprocess
+        merged = {}
+        for prof in profiles:
+            env = dict(os.environ)
+            env["FASTPLONG_BENCH_PROFILES"] = prof
+            env["FASTPLONG_BENCH_CHILD"] = "1"
+            if prof != "plain":
+                # the scaling table only runs in its own child
+                env.setdefault("FASTPLONG_BENCH_DEVICES", "1")
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
+                    capture_output=True, timeout=3000)
+            except subprocess.TimeoutExpired:
+                merged["%s_error" % prof] = "timeout"
+                continue
+            line = r.stdout.decode().strip().splitlines()
+            if r.returncode == 0 and line:
+                part = json.loads(line[-1])
+                for k, v in part.items():
+                    merged.setdefault(k, v)
+            else:
+                merged["%s_error" % prof] = r.stderr.decode()[-300:]
+        print(json.dumps(merged))
+        return
     in_fq = os.path.join(workdir, "bench_in.fq")
     if not os.path.exists(in_fq):
         gen_input(in_fq)
@@ -118,57 +152,71 @@ def main():
         "total_bases": total_bases,
     }
 
-    # device-side rates first, in a still-fresh process: the FIRST d2h
-    # permanently degrades this interconnect's per-op latency ~25x and its
-    # d2h bandwidth varies by orders of magnitude over hours ("weather"),
-    # so these are measured before anything fetches
-    opt = build_opt(in_fq, workdir, "warm")
-    device_rate = _device_step_rate(opt)
-    result["device_step_bases_per_second"] = round(device_rate, 1)
-    result["device_step_vs_baseline"] = round(
-        device_rate / BASELINE_BASES_PER_S, 4)
-    # h2d + full fast step per batch, no fetches: the pipeline's dispatch-
-    # phase capability (what end-to-end approaches when d2h is healthy)
-    h2d_rate = _h2d_step_rate(opt)
-    result["h2d_step_bases_per_second"] = round(h2d_rate, 1)
-    result["h2d_step_vs_baseline"] = round(h2d_rate / BASELINE_BASES_PER_S, 4)
+    if "plain" in profiles:
+        # device-side rates first, in a still-fresh process: the FIRST d2h
+        # permanently degrades this interconnect's per-op latency ~25x and
+        # its d2h bandwidth varies by orders of magnitude over hours
+        # ("weather"), so these are measured before anything fetches
+        opt = build_opt(in_fq, workdir, "warm")
+        device_rate = _device_step_rate(opt)
+        result["device_step_bases_per_second"] = round(device_rate, 1)
+        result["device_step_vs_baseline"] = round(
+            device_rate / BASELINE_BASES_PER_S, 4)
+        # h2d + full fast step per batch, no fetches: the dispatch-phase
+        # capability (what end-to-end approaches when d2h is healthy)
+        h2d_rate = _h2d_step_rate(opt)
+        result["h2d_step_bases_per_second"] = round(h2d_rate, 1)
+        result["h2d_step_vs_baseline"] = round(
+            h2d_rate / BASELINE_BASES_PER_S, 4)
 
-    # warm-up: full pass compiles every bucket shape the input hits; the
-    # compiled steps are cached process-wide (pipeline/device.py)
-    timed_run(in_fq, workdir, "warm")
+        # warm-up: full pass compiles every bucket shape the input hits;
+        # compiled steps are cached process-wide (pipeline/device.py)
+        timed_run(in_fq, workdir, "warm")
 
-    # headline: plain FASTQ end-to-end
-    dt, runner = timed_run(in_fq, workdir, "plain")
-    value = total_bases / dt
-    result["value"] = round(value, 1)
-    result["vs_baseline"] = round(value / BASELINE_BASES_PER_S, 4)
-    result["wall_seconds"] = round(dt, 3)
-    result["stage_seconds"] = runner.timer.report()
+        # headline: plain FASTQ end-to-end
+        dt, runner = timed_run(in_fq, workdir, "plain")
+        value = total_bases / dt
+        result["value"] = round(value, 1)
+        result["vs_baseline"] = round(value / BASELINE_BASES_PER_S, 4)
+        result["wall_seconds"] = round(dt, 3)
+        result["stage_seconds"] = runner.timer.report()
 
-    # measured CPU anchor (tools/cpu_anchor.py): compare against the
-    # reference binary's matching config (3_adapters, best thread count)
-    anchor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BASELINE_CPU.json")
-    if os.path.exists(anchor_path):
-        with open(anchor_path) as f:
-            anchor = json.load(f)
-        cfg = anchor.get("configs", {}).get("3_adapters", {})
-        rates = [v.get("bases_per_second", 0) for v in cfg.values()
-                 if isinstance(v, dict)]
-        if rates:
-            best = max(rates)
-            result["cpu_anchor_bases_per_second"] = best
-            result["vs_cpu_anchor"] = round(value / best, 4)
+        # measured CPU anchor (tools/cpu_anchor.py): compare against the
+        # reference binary's matching config (3_adapters, best threads)
+        anchor_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BASELINE_CPU.json")
+        if os.path.exists(anchor_path):
+            with open(anchor_path) as f:
+                anchor = json.load(f)
+            cfg = anchor.get("configs", {}).get("3_adapters", {})
+            rates = [v.get("bases_per_second", 0) for v in cfg.values()
+                     if isinstance(v, dict)]
+            if rates:
+                best = max(rates)
+                result["cpu_anchor_bases_per_second"] = best
+                result["vs_cpu_anchor"] = round(value / best, 4)
 
     if "host" in profiles:
-        # host-statistics backend: the stats-free device step + native
-        # host statRead — avoids shipping the stat accumulators d2h
+        # forced host-statistics backend (stats-free device step + native
+        # host statRead; the default 'auto' already picks this on tunneled
+        # links, so this pins the comparison)
         extra = ("--stats_backend", "host")
         timed_run(in_fq, workdir, "host_warm", extra=extra)
         dt_h, runner_h = timed_run(in_fq, workdir, "host", extra=extra)
         result["host_stats_bases_per_second"] = round(total_bases / dt_h, 1)
         result["host_stats_wall_seconds"] = round(dt_h, 3)
         result["host_stats_stage_seconds"] = runner_h.timer.report()
+
+    if "device" in profiles:
+        # forced device-statistics backend (donated on-device accumulators
+        # drained in the combined end-of-run fetch)
+        extra = ("--stats_backend", "device")
+        timed_run(in_fq, workdir, "devstats_warm", extra=extra)
+        dt_d, runner_d = timed_run(in_fq, workdir, "devstats", extra=extra)
+        result["device_stats_bases_per_second"] = round(
+            total_bases / dt_d, 1)
+        result["device_stats_wall_seconds"] = round(dt_d, 3)
+        result["device_stats_stage_seconds"] = runner_d.timer.report()
 
     if "gz" in profiles:
         in_gz = in_fq + ".gz"
@@ -181,6 +229,7 @@ def main():
                     if not chunk:
                         break
                     g.write(comp.compress(chunk))
+        timed_run(in_gz, workdir, "gz_warm")
         dt_gz, _ = timed_run(in_gz, workdir, "gz")
         result["gz_bases_per_second"] = round(total_bases / dt_gz, 1)
         result["gz_wall_seconds"] = round(dt_gz, 3)

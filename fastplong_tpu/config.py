@@ -117,9 +117,10 @@ class Options:
     devices: int = 1
     # jax.profiler trace output directory ("" = disabled)
     profile_dir: str = ""
-    # statistics backend: "device" (donated on-device accumulators) or
-    # "host" (native host pass per batch; better on weak device links)
-    stats_backend: str = "device"
+    # statistics backend: "device" (donated on-device accumulators),
+    # "host" (native host pass per batch; better on weak device links), or
+    # "auto" (host on tunneled links, device on directly-attached)
+    stats_backend: str = "auto"
     # single-file multi-host sharding (TPU-native extension, multihost.py):
     # this process handles record-aligned byte range host_index/num_hosts
     num_hosts: int = 1

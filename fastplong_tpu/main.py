@@ -178,13 +178,15 @@ def build_parser():
       help="write a jax.profiler trace of the run to this directory "
            "(TPU-native extension; view with tensorboard/xprof), disabled "
            "by default")
-    a("--stats_backend", choices=["device", "host"],
-      default=os.environ.get("FASTPLONG_STATS", "device"),
+    a("--stats_backend", choices=["device", "host", "auto"],
+      default=os.environ.get("FASTPLONG_STATS", "auto"),
       help="where run statistics accumulate (TPU-native extension): "
            "'device' keeps donated on-device accumulators drained once at "
            "end of run; 'host' computes them in a native host pass per "
-           "batch — preferable when the device link is slow. Identical "
-           "output either way. Default device (env FASTPLONG_STATS)")
+           "batch — preferable when the device link is slow; 'auto' picks "
+           "host on tunneled links and device on directly-attached "
+           "hardware. Identical output either way. Default auto (env "
+           "FASTPLONG_STATS)")
     # TPU-native extension: shard ONE plain FASTQ across hosts by
     # record-aligned byte ranges (multihost.py); each host writes
     # 000N.-prefixed outputs + a stats partial, reports merge via DCN

@@ -537,6 +537,12 @@ def make_fast_fn(opt, with_stats=True):
         for si in range(n_stages):
             cols.append(out["adapter_recs"][:, si])
         packed_out = jnp.stack(cols, axis=1)
+        # the ring buffer's dtype drives the packed width: stats-free
+        # buckets under 32Kbp use uint16 rings (every packed value — spans,
+        # flag words without medians, mismatch records — fits 16 bits),
+        # halving the fetched bytes
+        if outbuf.dtype != packed_out.dtype:
+            packed_out = packed_out.astype(outbuf.dtype)
         # outbuf is NOT donated: XLA materializes a fresh copy per call, so
         # the previous group's buffer stays fetchable while the next batch
         # dispatches (device-side copy of ~1-2MB is negligible)
@@ -577,6 +583,16 @@ def out_fields(opt):
     """Number of int32 columns per read in the packed output row."""
     cap = out_cap(opt)
     return 5 + cap * 6 + len(adapter_stages(kernel_params(opt)))
+
+
+def out_dtype(L, with_stats):
+    """Ring-buffer dtype for one bucket.  Stats-free rows carry no median
+    bytes (the host fills them), so for buckets <= 32Kbp every column fits
+    uint16: spans/trims <= L, flags/misc < 2^11, region counts <= L/2,
+    adapter records <= 640.  With-stats rows embed 8-bit medians at bit
+    offsets 8/11 and need int32."""
+    import numpy as np
+    return np.uint16 if (not with_stats and L <= (1 << 15)) else np.int32
 
 
 # --------------------------------------------------------------------------

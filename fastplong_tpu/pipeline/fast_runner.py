@@ -12,13 +12,15 @@ import jax.numpy as jnp
 
 from ..common import PASS_FILTER, FETCH_GROUP
 from .device import build_fast_step, init_stats_state, out_cap, \
-    unflatten_side, _FLAT_EXTRA, _FLAT_PER_L, global_stat_len
+    unflatten_side, _FLAT_EXTRA, _FLAT_PER_L, global_stat_len, out_dtype
 
 
 class PackedResults:
     """Decoded view of one batch's packed per-read output."""
 
     def __init__(self, arr, cap, n_stages):
+        if arr.dtype != np.int32:  # uint16 stats-free rings widen on host
+            arr = arr.astype(np.int32)
         self.cap = cap
         self.lo = arr[:, 0]
         self.hi = arr[:, 1]
@@ -53,7 +55,7 @@ class Bucket:
     __slots__ = ("outbuf", "pending")
 
     def __init__(self, L, B, F, placement=None, with_stats=True):
-        outbuf = np.zeros((FETCH_GROUP, B, F), np.int32)
+        outbuf = np.zeros((FETCH_GROUP, B, F), out_dtype(L, with_stats))
         if placement is None or not with_stats:
             self.outbuf = jax.device_put(outbuf)
         else:

@@ -151,9 +151,18 @@ class SingleEndRunner:
         # the stat accumulators over the device link — the right trade on
         # hosts with weak links (single-device only; the mesh path keeps
         # per-device partials).
-        self.host_stats_mode = (
-            getattr(opt, "stats_backend", "device") == "host"
-            and self.mesh is None)
+        backend = getattr(opt, "stats_backend", "auto")
+        if backend == "auto":
+            # host statRead wins when device results cross a weak tunneled
+            # link (the stat accumulators are ~87% of fetched bytes);
+            # device accumulators win on directly-attached hardware where
+            # d2h is PCIe and host CPU is the scarcer resource
+            try:
+                plat = jax.devices()[0].platform
+            except Exception:
+                plat = ""
+            backend = "host" if plat == "axon" else "device"
+        self.host_stats_mode = backend == "host" and self.mesh is None
         if self.host_stats_mode:
             from .host_stats import BatchStatAccumulator
             from .device import global_stat_len
@@ -368,26 +377,32 @@ class SingleEndRunner:
         transfer."""
         groups = []
         parts = []
+
+        def add_part(tag, buf):
+            # rings may be uint16 (stats-free buckets) while the stat state
+            # is int32: the combined transfer is raw BYTES, re-viewed per
+            # group on the host
+            groups.append((tag, buf.shape, buf.dtype.name))
+            parts.append(jax.lax.bitcast_convert_type(
+                buf.reshape(-1), jax.numpy.uint8).reshape(-1))
+
         for bs in self.device_stats.buckets.values():
             if not bs.pending:
                 continue
             buf = (bs.outbuf if len(bs.pending) >= FETCH_GROUP
                    else bs.outbuf[:len(bs.pending)])
-            groups.append((bs.pending, buf.shape))
-            parts.append(buf.reshape(-1))
+            add_part(bs.pending, buf)
             bs.pending = []
         ds = self.device_stats
         if (final and ds.placement is None and ds.state is not None
                 and ds.stat_batches):
-            st = ds.trimmed_state()
-            groups.append(("stats", st.shape))
-            parts.append(st.reshape(-1))
+            add_part("stats", ds.trimmed_state())
             ds.state = None
             ds.stat_batches = 0
         if not groups:
             return
         if len(parts) == 1:
-            combined = parts[0].reshape(groups[0][1])
+            combined = parts[0]
         else:
             import jax.numpy as jnp
             combined = jnp.concatenate(parts)
@@ -400,13 +415,15 @@ class SingleEndRunner:
         flat = fut.result()
         self.timer.add("fetch_wait", time.perf_counter() - t0)
         t0 = time.perf_counter()
+        flat = flat.reshape(-1)
         off = 0
-        for batches, shape in groups:
-            n = int(np.prod(shape))
-            group = flat.reshape(-1)[off:off + n].reshape(shape)
-            off += n
+        for batches, shape, dtype in groups:
+            dt = np.dtype(dtype)
+            nbytes = int(np.prod(shape)) * dt.itemsize
+            group = flat[off:off + nbytes].view(dt).reshape(shape)
+            off += nbytes
             if batches == "stats":
-                self.device_stats.consume_flat(group)
+                self.device_stats.consume_flat(group.astype(np.int64))
                 continue
             for j, batch in enumerate(batches):
                 self._consume_batch(group[j], batch)

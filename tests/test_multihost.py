@@ -81,6 +81,25 @@ def test_two_host_shards_equal_single_run(tmp_path):
     assert merged == single_js
 
 
+def test_multihost_rejects_gzip_and_split(tmp_path):
+    from fastplong_tpu.main import main
+    fq = write_random_fastq(str(tmp_path / "in.fq"), n_reads=10,
+                            min_len=30, max_len=60, seed=1)
+    gz = str(tmp_path / "in.fq.gz")
+    import gzip
+    with open(fq, "rb") as f, gzip.open(gz, "wb") as g:
+        g.write(f.read())
+    with pytest.raises(SystemExit):
+        main(["fastplong", "-i", gz, "-o", str(tmp_path / "o.fq"),
+              "--num_hosts", "2", "--host_index", "0"])
+    with pytest.raises(SystemExit):
+        main(["fastplong", "-i", fq, "-o", str(tmp_path / "o.fq"),
+              "--num_hosts", "2", "--host_index", "0", "--split", "3"])
+    with pytest.raises(SystemExit):
+        main(["fastplong", "-i", fq, "-o", str(tmp_path / "o.fq"),
+              "--num_hosts", "2", "--host_index", "5"])
+
+
 @pytest.mark.slow
 def test_distributed_dcn_merge(tmp_path):
     """Two real processes with jax.distributed: host 0 writes the merged

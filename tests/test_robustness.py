@@ -65,6 +65,19 @@ def test_pipeline_stress_tiny_queues(tmp_path, monkeypatch):
                    "--cut_front", "--cut_tail"])
 
 
+def test_profile_flag_writes_trace(tmp_path):
+    """--profile DIR captures a jax.profiler trace of the run."""
+    from fastplong_tpu.main import main
+    fq = write_random_fastq(str(tmp_path / "in.fq"), n_reads=20,
+                            min_len=30, max_len=120, seed=5)
+    prof = tmp_path / "trace"
+    main(["fastplong", "-i", fq, "-o", str(tmp_path / "o.fq"),
+          "-j", str(tmp_path / "o.json"), "-h", str(tmp_path / "o.html"),
+          "--profile", str(prof), "-A"])
+    files = list(prof.rglob("*"))
+    assert any(f.is_file() for f in files), "no trace files written"
+
+
 def test_split_over_quota_appends_to_last_file(tmp_path):
     """Pin the documented divergence (pipeline/split.py:11-17): reads past
     split.number * split.size keep appending to the worker's last file
