@@ -376,7 +376,14 @@ def _run_multihost(opt, process):
         error_exit("--host_index must be in [0, --num_hosts)")
     if opt.input_from_stdin or opt.in_file in ("/dev/stdin", "-"):
         error_exit("--num_hosts requires a seekable plain input file")
-    if opt.in_file.endswith(".gz"):
+    is_gz = opt.in_file.endswith(".gz")
+    if not is_gz:
+        try:
+            with open(opt.in_file, "rb") as f:
+                is_gz = f.read(2) == b"\x1f\x8b"
+        except OSError:
+            error_exit("cannot read the input file: " + opt.in_file)
+    if is_gz:
         error_exit("--num_hosts cannot byte-shard gzip input (no random "
                    "access); use parallel.py file sharding instead")
     if opt.split.enabled:

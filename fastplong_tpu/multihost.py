@@ -32,14 +32,25 @@ from .filter_result import FilterResult
 _PROBE = 1 << 20  # alignment scan window
 
 
-def _is_record_start(lines, j):
-    """lines[j] begins a FASTQ record: '@' line, '+' two below, and the
-    quality line matching the sequence length.  ('@' alone is not enough —
-    it is a legal quality byte.)"""
-    if j + 3 >= len(lines):
-        return False
-    return (lines[j].startswith(b"@") and lines[j + 2].startswith(b"+")
-            and len(lines[j + 1]) == len(lines[j + 3]))
+def _is_record_start(lines, j, at_eof):
+    """Does lines[j] begin a FASTQ record?  '@' alone is not enough (it is
+    a legal quality byte), so require a CHAIN of two well-formed records.
+    Returns True/False, or None when the window ends mid-chain and the
+    file doesn't — the caller must grow the window rather than skip a
+    possibly-true start."""
+    k = j
+    for checked in range(2):
+        if k + 3 >= len(lines):
+            if not at_eof:
+                return None
+            # at EOF a shorter chain is conclusive if the remainder is
+            # empty (trailing newline split artifact)
+            return checked >= 1 and all(not ln for ln in lines[k:])
+        if not (lines[k].startswith(b"@") and lines[k + 2].startswith(b"+")
+                and len(lines[k + 1]) == len(lines[k + 3])):
+            return False
+        k += 4
+    return True
 
 
 def align_to_record(path, pos):
@@ -64,12 +75,19 @@ def align_to_record(path, pos):
                 offs.append(o)
                 o += len(ln) + 1
             start_line = 0 if pos == 0 else 1
-            for j in range(start_line, len(lines) - 3):
-                if _is_record_start(lines, j):
+            inconclusive = False
+            for j in range(start_line, max(start_line, len(lines) - 1)):
+                r = _is_record_start(lines, j, at_eof)
+                if r is True:
                     return pos + offs[j]
-            if at_eof:
-                # no record start in the remainder: everything left belongs
-                # to the previous shard's final record
+                if r is None:
+                    # window ended mid-chain at a live candidate: grow
+                    # the window, don't skip a possibly-true start
+                    inconclusive = True
+                    break
+            if at_eof and not inconclusive:
+                # no record start in the remainder: everything left
+                # belongs to the previous shard's final record
                 return size
             probe *= 2
 

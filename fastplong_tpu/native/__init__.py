@@ -59,9 +59,10 @@ def get_lib():
     lib.fpl_pack_batch.argtypes = [
         ctypes.c_char_p, i64p, i64p, i64p, i64p,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
-    lib.fpl_emit_pieces.restype = None
-    lib.fpl_emit_pieces.argtypes = [
-        ctypes.c_void_p, i64p, i64p, ctypes.c_int64, ctypes.c_void_p]
+    lib.fpl_emit_pieces2.restype = None
+    lib.fpl_emit_pieces2.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        i64p, i64p, ctypes.c_int64, ctypes.c_void_p]
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.fpl_stat_rows.restype = None
     lib.fpl_stat_rows.argtypes = [
@@ -117,21 +118,6 @@ def pack_batch_into(out, row_offset, arr_bytes, seq_off, seq_len, qual_off,
         _as_i64_ptr(np.ascontiguousarray(indices.astype(np.int64))),
         len(indices), L, ctypes.c_void_p(ptr), out.shape[0] - row_offset)
     return True
-
-
-def emit_pieces(src, offs, lens, total):
-    """Native piece-table concatenation. Returns bytes or None."""
-    lib = get_lib()
-    if lib is None:
-        return None
-    offs = np.ascontiguousarray(offs, np.int64)
-    lens = np.ascontiguousarray(lens, np.int64)
-    out = np.empty(total, np.uint8)
-    lib.fpl_emit_pieces(
-        src.ctypes.data_as(ctypes.c_void_p), _as_i64_ptr(offs),
-        _as_i64_ptr(lens), len(offs),
-        out.ctypes.data_as(ctypes.c_void_p))
-    return out.tobytes()
 
 
 def stat_rows(packed, L, lo, hi, mlo, mhi, rowmask,
@@ -190,6 +176,22 @@ def gzip_decompress_member(data, offset: int, cap_hint: int):
         if r == -1:
             return None
         raise ValueError("invalid gzip data")
+
+
+def emit_pieces2(src1, aux: bytes, offs, lens, total):
+    """Two-source native piece-table concatenation (offsets >= len(src1)
+    read `aux`).  Returns bytes or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    offs = np.ascontiguousarray(offs, np.int64)
+    lens = np.ascontiguousarray(lens, np.int64)
+    out = np.empty(total, np.uint8)
+    lib.fpl_emit_pieces2(
+        src1.ctypes.data_as(ctypes.c_void_p), len(src1), aux,
+        _as_i64_ptr(offs), _as_i64_ptr(lens), len(offs),
+        out.ctypes.data_as(ctypes.c_void_p))
+    return out.tobytes()
 
 
 def gzip_compress(data: bytes, level: int):

@@ -116,13 +116,20 @@ void fpl_pack_batch(const uint8_t* buf,
 // this is the memcpy loop that materializes the output buffer — the
 // native replacement for the reference's per-read string appends
 // (src/read.cpp:119-177).
-void fpl_emit_pieces(const uint8_t* src, const int64_t* offs,
-                     const int64_t* lens, int64_t n, uint8_t* out) {
+// Piece-table concatenation, two sources: offsets < n1 read src1 (the
+// block's original bytes, used in place — no per-block copy of the whole
+// input), offsets >= n1 read src2 at (off - n1) (the small aux buffer:
+// newlines, tags, N-fill).
+void fpl_emit_pieces2(const uint8_t* src1, int64_t n1, const uint8_t* src2,
+                      const int64_t* offs, const int64_t* lens, int64_t n,
+                      uint8_t* out) {
     int64_t d = 0;
     for (int64_t i = 0; i < n; i++) {
         int64_t l = lens[i];
         if (l <= 0) continue;
-        memcpy(out + d, src + offs[i], (size_t)l);
+        int64_t o = offs[i];
+        const uint8_t* s = o < n1 ? src1 + o : src2 + (o - n1);
+        memcpy(out + d, s, (size_t)l);
         d += l;
     }
 }
@@ -229,6 +236,7 @@ void fpl_stat_rows(const uint8_t* packed, int64_t nrows, int64_t stride,
         int64_t e = hi[i];
         if (e > L) e = L;
         if (s < 0) s = 0;
+        if (e - s > Lacc) e = s + Lacc;  // never write past cyc[Lacc*18]
         if (e <= s) continue;
         int64_t ms = mlo ? mlo[i] : 0;
         int64_t me = mhi ? mhi[i] : 0;
@@ -265,7 +273,6 @@ void fpl_stat_rows(const uint8_t* packed, int64_t nrows, int64_t stride,
             cum += qh[v];
             if (cum >= want) { medians[i] = (uint8_t)v; break; }
         }
-        (void)Lacc;
     }
 }
 

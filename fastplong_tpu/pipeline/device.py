@@ -29,9 +29,16 @@ import jax.numpy as jnp
 
 # Persistent compilation cache: first-compile of a bucket shape costs
 # seconds (2-20s through the device tunnel); cached executables make every
-# later process start warm.  Tests set JAX_COMPILATION_CACHE_DIR themselves.
+# later process start warm.  Tests set JAX_COMPILATION_CACHE_DIR
+# themselves.  Per-user path: a fixed /tmp name would collide (mode 0700)
+# between users on a shared machine.
 if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_fastplong")
+    import tempfile
+    _cache = _os.path.join(
+        tempfile.gettempdir(),
+        "jax_cache_fastplong_%d" % (_os.getuid()
+                                    if hasattr(_os, "getuid") else 0))
+    jax.config.update("jax_compilation_cache_dir", _cache)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
@@ -614,7 +621,14 @@ _step_cache = {}
 
 
 def get_fast_step(opt, mesh=None, with_stats=True):
-    """Cached build_fast_step (or its sharded variant when mesh is given)."""
+    """Cached build_fast_step (or its sharded variant when mesh is given).
+
+    The sharded variant always carries stats (the runner routes stats-free
+    work — monster batches, host-stats mode — through the single-device
+    step), so mesh + with_stats=False is rejected rather than silently
+    returning a step with the wrong signature."""
+    if mesh is not None and not with_stats:
+        raise ValueError("the sharded step has no stats-free variant")
     key = (_freeze(kernel_params(opt)), mesh, with_stats, global_stat_len())
     if key not in _step_cache:
         if mesh is None:

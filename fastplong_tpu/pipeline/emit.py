@@ -7,7 +7,7 @@ builds the whole output buffer for a RecordBlock at once:
 
   numpy computes a PIECE TABLE — (src_offset, length) pairs into one source
   buffer (the block's original bytes + a small aux buffer holding newlines,
-  name tags and N-fill) — and a native memcpy loop (fpl_emit_pieces) or a
+  name tags and N-fill) — and a native two-source memcpy loop (fpl_emit_pieces2) or a
   single numpy gather materializes the bytes.
 
 Byte-for-byte identical to the per-read path in runner.SingleEndRunner
@@ -49,22 +49,25 @@ for _tag, (_o, _l) in _TAG_OFF.items():
     _TAG_LEN_ARR[_tag] = _l
 
 
-def _emit_pieces(src, offs, lens):
-    """Concatenate src[off:off+len] for every piece (C fast path or one
-    numpy gather)."""
+def _emit_pieces(src1, aux, offs, lens):
+    """Concatenate pieces from two sources: offsets < len(src1) read the
+    block's original bytes IN PLACE, offsets beyond read the small aux
+    buffer — no per-block copy of the whole input (C fast path, numpy
+    gather fallback)."""
     flat_offs = offs.ravel()
     flat_lens = lens.ravel()
     total = int(flat_lens.sum())
     if total == 0:
         return b""
     try:
-        from ..native import emit_pieces as native_emit
+        from ..native import emit_pieces2 as native_emit
     except Exception:
         native_emit = None
     if native_emit is not None:
-        out = native_emit(src, flat_offs, flat_lens, total)
+        out = native_emit(src1, aux, flat_offs, flat_lens, total)
         if out is not None:
             return out
+    src = np.concatenate([src1, np.frombuffer(aux, np.uint8)])
     dest0 = np.concatenate(([0], np.cumsum(flat_lens)[:-1]))
     idx = np.repeat(flat_offs - dest0, flat_lens) + np.arange(total,
                                                               dtype=np.int64)
@@ -139,8 +142,7 @@ def emit_block_fast(block, res, cap, mask_on, write_out, write_failed):
     if max_fill:
         aux_dyn.append(b"N" * max_fill)
 
-    src = np.frombuffer(
-        block.buf + _AUX_STATIC + b"".join(aux_dyn), np.uint8)
+    aux = _AUX_STATIC + b"".join(aux_dyn)
 
     out_bytes = b""
     if out_sel is not None and out_sel.any():
@@ -207,7 +209,7 @@ def emit_block_fast(block, res, cap, mask_on, write_out, write_failed):
             hi - lo,
             nl_l,
         ], axis=1)
-        out_bytes = _emit_pieces(src, offs, lens)
+        out_bytes = _emit_pieces(block.arr, aux, offs, lens)
 
     failed_bytes = b""
     if fail_sel is not None and fail_sel.any():
@@ -254,6 +256,6 @@ def emit_block_fast(block, res, cap, mask_on, write_out, write_failed):
             hi - lo,
             nl_l,
         ], axis=1)
-        failed_bytes = _emit_pieces(src, offs, lens)
+        failed_bytes = _emit_pieces(block.arr, aux, offs, lens)
 
     return out_bytes, failed_bytes

@@ -10,7 +10,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..common import PASS_FILTER, FETCH_GROUP
+from ..common import PASS_FILTER, FETCH_GROUP, TOKENS_PER_BATCH
 from .device import build_fast_step, init_stats_state, out_cap, \
     unflatten_side, _FLAT_EXTRA, _FLAT_PER_L, global_stat_len, out_dtype
 
@@ -69,9 +69,11 @@ class DeviceStats:
     device), drained with a single sliced fetch — d2h bytes and RTTs are
     the scarce resource on this interconnect."""
 
-    # drain long before any int32 accumulator can overflow: per batch a
-    # cycle-qual cell grows by <= B*93 (~400k), so ~5000 batches are safe
-    DRAIN_EVERY = 4000
+    # drain long before any int32 cell can overflow.  The fastest-growing
+    # cells are the per-base q20/q30 totals and the base-qual histogram,
+    # which can each grow by up to a whole batch's bases (~TOKENS_PER_BATCH)
+    # per batch; 2^30 headroom over that bounds any cell at < 2^31.
+    DRAIN_EVERY = max(16, (1 << 30) // max(TOKENS_PER_BATCH, 1))
 
     def __init__(self, placement=None):
         self.placement = placement   # MeshPlacement in mesh mode, else None

@@ -166,7 +166,9 @@ class SingleEndRunner:
         if self.host_stats_mode:
             from .host_stats import BatchStatAccumulator
             from .device import global_stat_len
-            SL = min(global_stat_len(), 1 << 20)
+            # sized to the LARGEST non-monster bucket: spans up to that
+            # length are fed to the native pass (which also clamps)
+            SL = global_stat_len()
             self._batch_pre = BatchStatAccumulator(SL)
             self._batch_post = BatchStatAccumulator(SL)
         self.out_writer = None
@@ -267,6 +269,17 @@ class SingleEndRunner:
                 while self._in_flight:
                     self._drain_one()
                 if len(self._block_queue) > self._max_blocks_pending:
+                    self._flush_pending_groups()
+                    while self._in_flight:
+                        self._drain_one()
+                if len(self._block_queue) > self._max_blocks_pending:
+                    # reads stuck in partially-filled builders (sparse
+                    # length buckets) head-of-line-block the queue:
+                    # dispatch the partial batches so their blocks can
+                    # complete — padding waste beats unbounded memory
+                    for b in self._builders.values():
+                        if b.count:
+                            self._dispatch(b.take_batch())
                     self._flush_pending_groups()
                     while self._in_flight:
                         self._drain_one()

@@ -81,6 +81,36 @@ def test_two_host_shards_equal_single_run(tmp_path):
     assert merged == single_js
 
 
+def test_align_fuzz_adversarial_quality(tmp_path):
+    """Random FASTQ with quality lines crafted to start with '@'/'+' and
+    to collide in length: every aligned offset must be a true record
+    start (or EOF)."""
+    rng = np.random.default_rng(123)
+    from fastplong_tpu.multihost import align_to_record
+    p = str(tmp_path / "f.fq")
+    recs = []
+    for i in range(300):
+        n = int(rng.integers(5, 80))
+        seq = "".join(rng.choice(list("ACGTN"), size=n))
+        first = rng.choice(["@", "+", "A"])  # adversarial quality starts
+        qual = first + "".join(
+            chr(int(q)) for q in rng.integers(33, 74, size=n - 1))
+        strand = "+" if rng.random() < 0.7 else "+comment here"
+        recs.append("@r%d x\n%s\n%s\n%s\n" % (i, seq, strand, qual))
+    data = "".join(recs).encode()
+    with open(p, "wb") as f:
+        f.write(data)
+    starts = set()
+    off = 0
+    for r in recs:
+        starts.add(off)
+        off += len(r)
+    size = len(data)
+    for pos in rng.integers(0, size + 1, size=250):
+        a = align_to_record(p, int(pos))
+        assert (a in starts or a == size) and a >= pos, (int(pos), a)
+
+
 def test_multihost_rejects_gzip_and_split(tmp_path):
     from fastplong_tpu.main import main
     fq = write_random_fastq(str(tmp_path / "in.fq"), n_reads=10,
