@@ -227,6 +227,12 @@ def options_from_args(args, argv):
     opt.verbose = args.verbose
     opt.profile_dir = args.profile
     opt.stats_backend = args.stats_backend
+    # argparse validates choices only for command-line values, not the
+    # env-supplied default — reject a mistyped FASTPLONG_STATS the same way
+    if opt.stats_backend not in ("device", "host", "auto"):
+        error_exit("invalid stats backend '%s' (FASTPLONG_STATS / "
+                   "--stats_backend): choose device, host or auto"
+                   % opt.stats_backend)
 
     opt.adapter.enabled = not args.disable_adapter_trimming
     opt.adapter.sequence_start = args.start_adapter

@@ -8,12 +8,13 @@ of N processes records in [range_i) and writes host-prefixed outputs
 statistics partial.  The final merged JSON/HTML report is produced either
 
   * over DCN: when jax.distributed is initialized (FASTPLONG_COORDINATOR
-    env or --coordinator), partials are exchanged with a global allgather
+    env set to host:port), partials are exchanged with a global allgather
     (jax.experimental.multihost_utils) and host 0 writes the report — the
     collective replacement for the reference's end-of-run Stats::merge
     (src/seprocessor.cpp:108-121) across hosts; or
-  * offline: `python -m fastplong_tpu.merge_reports *.part*.npz` merges
-    saved partials (shared or copied filesystem).
+  * offline: `python -m fastplong_tpu.merge_reports out.json.part0
+    out.json.part1 ...` merges the saved partial blobs (shared or copied
+    filesystem).
 
 gzip inputs cannot be byte-sharded (no random access without an index) —
 multi-host mode requires plain FASTQ; .gz falls back to whole-file
@@ -62,19 +63,22 @@ def align_to_record(path, pos):
         return size
     probe = _PROBE
     with open(path, "rb") as f:
+        # pos itself is a candidate iff it begins a line (previous byte is
+        # a newline) — otherwise the window's first "line" is the partial
+        # tail of the previous line and must be skipped
+        f.seek(pos - 1)
+        pos_is_line_start = f.read(1) == b"\n"
         while True:
             f.seek(pos)
             buf = f.read(probe)
             at_eof = pos + len(buf) >= size
             lines = buf.split(b"\n")
-            # offsets of line starts within buf; the first line may be a
-            # partial tail of the previous line — skip it unless pos==0
             offs = []
             o = 0
             for ln in lines:
                 offs.append(o)
                 o += len(ln) + 1
-            start_line = 0 if pos == 0 else 1
+            start_line = 0 if pos_is_line_start else 1
             inconclusive = False
             for j in range(start_line, max(start_line, len(lines) - 1)):
                 r = _is_record_start(lines, j, at_eof)

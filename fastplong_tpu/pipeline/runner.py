@@ -156,13 +156,23 @@ class SingleEndRunner:
             # host statRead wins when device results cross a weak tunneled
             # link (the stat accumulators are ~87% of fetched bytes);
             # device accumulators win on directly-attached hardware where
-            # d2h is PCIe and host CPU is the scarcer resource
+            # d2h is PCIe and host CPU is the scarcer resource.  The axon
+            # tunnel's devices report platform "tpu" — the plugin name
+            # only shows in the client's platform_version string.
             try:
-                plat = jax.devices()[0].platform
+                ver = getattr(jax.devices()[0].client,
+                              "platform_version", "")
             except Exception:
-                plat = ""
-            backend = "host" if plat == "axon" else "device"
-        self.host_stats_mode = backend == "host" and self.mesh is None
+                ver = ""
+            backend = "host" if "axon" in ver else "device"
+        if backend == "host" and self.mesh is not None:
+            if getattr(opt, "stats_backend", "auto") == "host":
+                # only warn for an EXPLICIT request; auto resolves quietly
+                sys.stderr.write(
+                    "WARNING: --stats_backend host is single-device only; "
+                    "using device statistics for the --devices mesh run\n")
+            backend = "device"
+        self.host_stats_mode = backend == "host"
         if self.host_stats_mode:
             from .host_stats import BatchStatAccumulator
             from .device import global_stat_len
@@ -212,7 +222,14 @@ class SingleEndRunner:
         self._block_queue = []   # [block, BlockResults, outstanding_reads]
         self._in_flight = []     # (batches_of_group, future of [K,B,F])
         self._max_in_flight = self.MAX_IN_FLIGHT
+        self._flush_blocks = self.FLUSH_BLOCKS
         self._max_blocks_pending = self.MAX_BLOCKS_PENDING
+        if self.host_stats_mode:
+            # host mode retains each batch's packed buffer (~2x the block's
+            # parsed bytes) until drain for the post-stat pass, so the same
+            # memory budget covers ~1/3 as many blocks
+            self._flush_blocks = max(2, self._flush_blocks // 3)
+            self._max_blocks_pending = max(3, self._max_blocks_pending // 3)
         # a single fetch thread pulls results to host in the background so
         # d2h transfers overlap packing/dispatch on the main thread
         self._fetcher = ThreadPoolExecutor(max_workers=1)
@@ -262,7 +279,7 @@ class SingleEndRunner:
             # round trips rare and big: at the LOW mark kick one combined
             # background fetch (overlaps further parsing); at the HIGH
             # mark block until everything drains and emits
-            if (len(self._block_queue) >= self.FLUSH_BLOCKS
+            if (len(self._block_queue) >= self._flush_blocks
                     and not self._in_flight):
                 self._flush_pending_groups()
             if len(self._block_queue) > self._max_blocks_pending:

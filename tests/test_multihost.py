@@ -106,9 +106,11 @@ def test_align_fuzz_adversarial_quality(tmp_path):
         starts.add(off)
         off += len(r)
     size = len(data)
+    all_cuts = sorted(starts | {size})
     for pos in rng.integers(0, size + 1, size=250):
         a = align_to_record(p, int(pos))
-        assert (a in starts or a == size) and a >= pos, (int(pos), a)
+        expected = next(s for s in all_cuts if s >= pos)
+        assert a == expected, (int(pos), a, expected)
 
 
 def test_multihost_rejects_gzip_and_split(tmp_path):
