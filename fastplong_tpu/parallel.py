@@ -223,7 +223,17 @@ def main(argv=None):
     p.add_argument("--num_hosts", type=int, default=1)
     p.add_argument("--host_index", type=int, default=0)
     p.add_argument("--no_summary", action="store_true")
+    p.add_argument("--summary_only", action="store_true",
+                   help="skip processing; (re)generate overall.html from the"
+                        " report dir — run once after all hosts finish")
     opts = p.parse_args(argv)
+
+    if opts.summary_only:
+        report_dir = opts.report_dir or opts.out_dir or opts.input_dir
+        if generate_summary_html(report_dir) is None:
+            print("No JSON report found in " + report_dir)
+            return 1
+        return 0
 
     files = find_fastqs(opts.input_dir)
     if not files:
@@ -244,6 +254,10 @@ def main(argv=None):
     if not opts.no_summary and opts.host_index == 0:
         report_dir = opts.report_dir or opts.out_dir or opts.input_dir
         generate_summary_html(report_dir)
+        if opts.num_hosts > 1:
+            print("Note: with --num_hosts > 1 other hosts may still be "
+                  "running; re-run with --summary_only over the shared "
+                  "report dir once all hosts finish.")
     return 0
 
 

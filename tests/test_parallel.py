@@ -54,3 +54,22 @@ def test_end_to_end(tmp_path):
     assert j["summary"]["before_filtering"]["total_reads"] == 40
     html = open(outd / "overall.html").read()
     assert "x.fq" in html and "y.fastq" in html
+
+
+def test_summary_only(tmp_path):
+    ind = tmp_path / "in"
+    outd = tmp_path / "out"
+    ind.mkdir()
+    _write_fq(str(ind / "x.fq"), seed=1)
+    rc = parallel.main(["-i", str(ind), "-o", str(outd), "--args=-A",
+                        "--no_summary"])
+    assert rc == 0
+    assert "overall.html" not in os.listdir(outd)
+    # post-hoc aggregation over the shared report dir (multi-host flow)
+    rc = parallel.main(["-i", str(ind), "-o", str(outd), "--summary_only"])
+    assert rc == 0
+    assert "x.fq" in open(outd / "overall.html").read()
+
+
+def test_summary_only_empty_dir(tmp_path):
+    assert parallel.main(["-i", str(tmp_path), "--summary_only"]) == 1
