@@ -41,12 +41,18 @@ def get_lib():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO) or (os.path.exists(_SRC) and
-                                   os.path.getmtime(_SRC) > os.path.getmtime(_SO)):
-        if not _build():
-            return None
+    # FASTPLONG_NATIVE_SO: load this exact shared object instead of
+    # building/loading the default one — used to swap in instrumented
+    # builds (AddressSanitizer, coverage) under the normal test suite
+    so = os.environ.get("FASTPLONG_NATIVE_SO", "")
+    if not so:
+        so = _SO
+        if not os.path.exists(_SO) or (os.path.exists(_SRC) and
+                                       os.path.getmtime(_SRC) > os.path.getmtime(_SO)):
+            if not _build():
+                return None
     try:
-        lib = ctypes.CDLL(_SO)
+        lib = ctypes.CDLL(so)
     except OSError:
         return None
     i64p = ctypes.POINTER(ctypes.c_int64)

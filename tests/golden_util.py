@@ -16,13 +16,24 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REF_BIN = os.environ.get("FASTPLONG_REF_BIN", "/tmp/fastplong_ref/fastplong")
 
 
+def ref_env():
+    """Env for reference-binary subprocesses (hermetic): instrumentation
+    aimed at OUR native library must not leak in.  Concretely, running the
+    suite under tools/asan_check.sh LD_PRELOADs libasan, which aborts the
+    reference on a pre-existing alloc-dealloc mismatch of its own
+    (new[] in readerTask freed with scalar delete in processSingleEnd) —
+    upstream's bug, not the parity surface under test."""
+    return {k: v for k, v in os.environ.items()
+            if k not in ("LD_PRELOAD", "ASAN_OPTIONS")}
+
+
 def ensure_reference():
     if os.path.exists(REF_BIN):
         return REF_BIN
     script = os.path.join(HERE, "golden", "build_reference.sh")
     try:
         subprocess.run(["bash", script], check=True, capture_output=True,
-                       timeout=600)
+                       timeout=600, env=ref_env())
     except Exception as e:
         pytest.skip("cannot build reference binary: %s" % e)
     if not os.path.exists(REF_BIN):
@@ -63,7 +74,7 @@ def run_reference(in_fq, workdir, extra_args):
     r = subprocess.run(
         [ref, "-i", in_fq, "-o", out, "--failed_out", failed,
          "-j", js, "-h", html] + extra_args,
-        capture_output=True, timeout=300)
+        capture_output=True, timeout=300, env=ref_env())
     assert r.returncode == 0, r.stderr.decode()[-2000:]
     return out, failed, js, r.stderr.decode()
 

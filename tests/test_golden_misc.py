@@ -48,12 +48,13 @@ def test_gzip_output_content(tmp_path):
         fq, str(tmp_path), ["-A"])
     # rerun with .gz outputs
     import subprocess
-    from golden_util import ensure_reference
+    from golden_util import ensure_reference, ref_env
     ref = ensure_reference()
     r = subprocess.run(
         [ref, "-i", fq, "-o", str(tmp_path / "ref.fq.gz"),
          "-j", str(tmp_path / "r2.json"), "-h", str(tmp_path / "r2.html"),
-         "-A", "-z", "6"], capture_output=True, timeout=300)
+         "-A", "-z", "6"], capture_output=True, timeout=300,
+        env=ref_env())
     assert r.returncode == 0
     from fastplong_tpu.main import main
     main(["fastplong", "-i", fq, "-o", str(tmp_path / "my.fq.gz"),

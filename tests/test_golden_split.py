@@ -7,6 +7,7 @@ import subprocess
 import pytest
 
 from golden_util import (write_random_fastq, ensure_reference, run_ours,
+                         ref_env,
                          strip_command)
 
 
@@ -20,7 +21,7 @@ def run_split_case(fq, tmp_path, extra):
         [ref_bin, "-i", fq, "-o", os.path.join(ref_dir, "out.fq"),
          "-j", os.path.join(ref_dir, "r.json"),
          "-h", os.path.join(ref_dir, "r.html")] + extra,
-        capture_output=True, timeout=300)
+        capture_output=True, timeout=300, env=ref_env())
     assert r.returncode == 0, r.stderr.decode()[-2000:]
 
     from fastplong_tpu.main import main

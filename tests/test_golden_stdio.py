@@ -6,7 +6,8 @@ import sys
 
 import pytest
 
-from golden_util import write_random_fastq, ensure_reference, strip_command
+from golden_util import (write_random_fastq, ensure_reference,
+                         strip_command, ref_env)
 
 START = "AATGTACTTCGTTCAGTTACGTATTGCT"
 
@@ -28,7 +29,7 @@ def run_stdio_case(fq, tmp_path, extra):
     r = subprocess.run(
         [ref, "-i", "/dev/stdin", "--stdout", "-j", str(tmp_path / "r.json"),
          "-h", str(tmp_path / "r.html")] + extra,
-        input=data, capture_output=True, timeout=300)
+        input=data, capture_output=True, timeout=300, env=ref_env())
     assert r.returncode == 0, r.stderr.decode()[-1500:]
 
     env = dict(os.environ,
