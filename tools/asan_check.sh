@@ -34,3 +34,16 @@ FASTPLONG_NATIVE_SO="$ASAN_SO" \
 python -m pytest \
     tests/test_native_fuzz.py tests/test_io.py \
     -q "$@"
+
+# Second pass: UndefinedBehaviorSanitizer (signed overflow, misaligned or
+# out-of-range accesses ASan doesn't model).  UBSan's runtime links into
+# the .so directly — no preload needed, so the whole suite could run; we
+# keep the same fast file set for a quick gate.
+UBSAN_SO=/tmp/libfplhost_ubsan.so
+g++ -O1 -g -fsanitize=undefined -fno-sanitize-recover=all -shared -fPIC \
+    fastplong_tpu/native/host_io.cpp -o "$UBSAN_SO" -ldeflate
+
+FASTPLONG_NATIVE_SO="$UBSAN_SO" \
+python -m pytest \
+    tests/test_native_fuzz.py tests/test_io.py \
+    -q "$@"
