@@ -94,8 +94,11 @@ def human_format(num):
 
 
 def generate_summary_html(report_dir):
-    json_files = sorted(f for f in os.listdir(report_dir)
-                        if f.endswith(".json"))
+    try:
+        json_files = sorted(f for f in os.listdir(report_dir)
+                            if f.endswith(".json"))
+    except OSError:
+        return None
     version = "fastplong-tpu"
     stats = []
     qual_curves = []
@@ -106,6 +109,8 @@ def generate_summary_html(report_dir):
                 data = json.load(f)
         except (OSError, ValueError):
             continue
+        if not isinstance(data, dict) or not data.get("summary"):
+            continue  # unrelated .json in the dir, not a fastplong report
         summary = data.get("summary", {})
         version = "fastplong-tpu " + summary.get("fastplong_version", "")
         before = summary.get("before_filtering", {})

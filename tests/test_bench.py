@@ -107,6 +107,81 @@ def test_value_falls_back_to_warm_run(bench, monkeypatch, capsys):
     assert j["vs_baseline"] == round(7.0 / 3e9, 4)
 
 
+def test_stray_stdout_lines_do_not_crash(bench, monkeypatch, capsys):
+    """A library banner on a child's stdout must not break the contract:
+    the last PARSEABLE line wins."""
+    monkeypatch.setenv("FASTPLONG_BENCH_PROFILES", "plain,headline")
+    monkeypatch.setenv("FASTPLONG_BENCH_HEADLINE_RUNS", "1")
+    monkeypatch.setattr(bench, "_probe_device", lambda *a, **k: True)
+
+    def noisy_run(cmd, env=None, cwd=None, capture_output=True,
+                  timeout=None):
+        r = types.SimpleNamespace()
+        r.returncode = 0
+        r.stdout = (json.dumps({"value": 3.0}) +
+                    "\nW0000 some runtime banner\xff\n").encode(
+                        "utf-8", "replace")
+        r.stderr = b""
+        return r
+
+    monkeypatch.setattr(subprocess, "run", noisy_run)
+    bench.main()
+    j = _last_json_line(capsys)
+    assert j["value"] == 3.0
+
+
+def test_garbage_stdout_child_is_an_error_not_a_crash(bench, monkeypatch,
+                                                      capsys):
+    monkeypatch.setenv("FASTPLONG_BENCH_PROFILES", "plain,headline")
+    monkeypatch.setattr(bench, "_probe_device", lambda *a, **k: True)
+
+    def garbage_run(cmd, env=None, cwd=None, capture_output=True,
+                    timeout=None):
+        r = types.SimpleNamespace()
+        r.returncode = 0
+        r.stdout = b"not json at all\nnor this\n"
+        r.stderr = b""
+        return r
+
+    monkeypatch.setattr(subprocess, "run", garbage_run)
+    bench.main()
+    j = _last_json_line(capsys)
+    assert j["value"] == 0.0
+    assert "no JSON line" in j["plain_error"]
+
+
+def test_children_get_scaling_suppressed_and_warm_flag(bench, monkeypatch,
+                                                       capsys):
+    """Non-plain children must run single-device even when the parent env
+    carries a multi-device list, and must be told to self-warm when no
+    plain child ran first."""
+    monkeypatch.setenv("FASTPLONG_BENCH_PROFILES", "gz,short")
+    monkeypatch.setenv("FASTPLONG_BENCH_DEVICES", "1,4,8")
+    monkeypatch.setattr(bench, "_probe_device", lambda *a, **k: True)
+    seen = {}
+
+    def spy_run(cmd, env=None, cwd=None, capture_output=True, timeout=None):
+        prof = env["FASTPLONG_BENCH_PROFILES"]
+        seen[prof] = (env.get("FASTPLONG_BENCH_DEVICES"),
+                      env.get("FASTPLONG_BENCH_NEED_WARM"))
+        r = types.SimpleNamespace()
+        r.returncode = 0
+        r.stdout = json.dumps(
+            {prof + "_bases_per_second": 4.0}).encode() + b"\n"
+        r.stderr = b""
+        return r
+
+    monkeypatch.setattr(subprocess, "run", spy_run)
+    bench.main()
+    j = _last_json_line(capsys)
+    assert seen["gz"] == ("1", "1")
+    assert seen["short"] == ("1", "1")
+    # all profiles succeeded: the fallback picks a real rate, no error
+    assert j["value"] == 4.0
+    assert j["value_source"] == "gz_bases_per_second"
+    assert "error" not in j
+
+
 def test_all_children_dead_still_prints_value(bench, monkeypatch, capsys):
     monkeypatch.setenv("FASTPLONG_BENCH_PROFILES", "plain,headline")
     monkeypatch.setattr(bench, "_probe_device", lambda *a, **k: True)

@@ -73,3 +73,25 @@ def test_summary_only(tmp_path):
 
 def test_summary_only_empty_dir(tmp_path):
     assert parallel.main(["-i", str(tmp_path), "--summary_only"]) == 1
+
+
+def test_summary_only_missing_dir(tmp_path):
+    # friendly error, not a FileNotFoundError traceback
+    missing = str(tmp_path / "never_created")
+    assert parallel.main(["-i", missing, "--summary_only"]) == 1
+
+
+def test_summary_skips_unrelated_json(tmp_path):
+    ind = tmp_path / "in"
+    outd = tmp_path / "out"
+    ind.mkdir()
+    _write_fq(str(ind / "x.fq"), seed=1)
+    rc = parallel.main(["-i", str(ind), "-o", str(outd), "--args=-A"])
+    assert rc == 0
+    # drop a non-report .json into the report dir (e.g. a stray config or
+    # a merged multi-host artifact) and re-aggregate
+    (outd / "stray_config.json").write_text('{"threads": 4}')
+    rc = parallel.main(["-i", str(ind), "-o", str(outd), "--summary_only"])
+    assert rc == 0
+    html = open(outd / "overall.html").read()
+    assert "x.fq" in html and "stray_config" not in html

@@ -28,6 +28,14 @@ LIBASAN=$(g++ -print-file-name=libasan.so)
 # Python process itself (interpreter, numpy, jax) — we are after buffer
 # overflows / use-after-free in host_io.cpp, which halt_on_error=1 turns
 # into a hard test failure
+# preflight: the fuzz suite skips itself when the library fails to load
+# (so the normal suite degrades gracefully) — here a load failure must be
+# a hard error, not a silently-green skipped run
+LD_PRELOAD="$LIBASAN" FASTPLONG_NATIVE_SO="$ASAN_SO" \
+ASAN_OPTIONS=detect_leaks=0 \
+python -c "from fastplong_tpu import native; \
+assert native.get_lib() is not None, 'ASan .so failed to load'"
+
 LD_PRELOAD="$LIBASAN" \
 ASAN_OPTIONS=detect_leaks=0:halt_on_error=1 \
 FASTPLONG_NATIVE_SO="$ASAN_SO" \
@@ -42,6 +50,10 @@ python -m pytest \
 UBSAN_SO=/tmp/libfplhost_ubsan.so
 g++ -O1 -g -fsanitize=undefined -fno-sanitize-recover=all -shared -fPIC \
     fastplong_tpu/native/host_io.cpp -o "$UBSAN_SO" -ldeflate
+
+FASTPLONG_NATIVE_SO="$UBSAN_SO" \
+python -c "from fastplong_tpu import native; \
+assert native.get_lib() is not None, 'UBSan .so failed to load'"
 
 FASTPLONG_NATIVE_SO="$UBSAN_SO" \
 python -m pytest \
