@@ -109,3 +109,33 @@ def test_mesh_pipeline_end_to_end_parity(tmp_path):
     strip = lambda s: re.sub(r'"command": ".*"', '', s)
     assert (strip((tmp_path / "r_d1.json").read_text())
             == strip((tmp_path / "r_d8.json").read_text()))
+
+
+def test_mesh_pipeline_break_mask_parity(tmp_path):
+    """Mesh parity for the other device-output shape: break/mask span
+    emission (variable output cardinality per read)."""
+    import re
+    from fastplong_tpu.main import main
+
+    in_fq = str(tmp_path / "in.fq")
+    _write_input(in_fq, n=400, seed=9)
+
+    def run(devices, tag):
+        argv = ["fastplong", "-i", in_fq,
+                "-o", str(tmp_path / ("out_%s.fq" % tag)),
+                "--failed_out", str(tmp_path / ("failed_%s.fq" % tag)),
+                "-j", str(tmp_path / ("r_%s.json" % tag)),
+                "-h", str(tmp_path / ("r_%s.html" % tag)),
+                "-e", "AGCAATACGTAACTGAACGAAGT", "-b", "-x",
+                "--devices", str(devices)]
+        main(argv)
+
+    run(1, "d1")
+    run(8, "d8")
+    for name in ("out", "failed"):
+        a = (tmp_path / ("%s_d1.fq" % name)).read_bytes()
+        b = (tmp_path / ("%s_d8.fq" % name)).read_bytes()
+        assert a == b, "%s.fq differs between 1 and 8 devices" % name
+    strip = lambda s: re.sub(r'"command": ".*"', '', s)
+    assert (strip((tmp_path / "r_d1.json").read_text())
+            == strip((tmp_path / "r_d8.json").read_text()))
