@@ -78,6 +78,27 @@ def test_profile_flag_writes_trace(tmp_path):
     assert any(f.is_file() for f in files), "no trace files written"
 
 
+def test_python_fallback_byte_parity(tmp_path, monkeypatch):
+    """With the native library unavailable (FASTPLONG_NATIVE_SO pointing
+    at a nonexistent path), every pure-Python fallback — parse, pack,
+    emit, gzip, statRead — must still produce byte-identical output: a
+    missing toolchain degrades performance, never correctness."""
+    from fastplong_tpu import native
+
+    monkeypatch.setenv("FASTPLONG_NATIVE_SO", "/nonexistent/libfpl.so")
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", False)
+    assert native.get_lib() is None
+
+    fq = write_random_fastq(str(tmp_path / "in.fq"), n_reads=300,
+                            min_len=30, max_len=700, seed=88,
+                            adapter_start="AATGTACTTCGTTCAGTTACGTATTGCT",
+                            adapter_prob=0.5, polya_prob=0.3)
+    assert_parity(fq, str(tmp_path),
+                  ["-s", "AATGTACTTCGTTCAGTTACGTATTGCT", "-x",
+                   "--cut_front", "--cut_tail"])
+
+
 def test_split_over_quota_appends_to_last_file(tmp_path):
     """Pin the documented divergence (pipeline/split.py:11-17): reads past
     split.number * split.size keep appending to the worker's last file
