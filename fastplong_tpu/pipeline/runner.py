@@ -19,7 +19,7 @@ import jax
 
 from ..common import PASS_FILTER, FAILED_TYPES, stat_device_cap
 from ..io.fastq import FastqStreamReader
-from ..io.writer import Writer, AsyncWriter
+from ..io.writer import make_output_writer
 from ..stats import Stats
 from ..filter_result import FilterResult
 from ..common import FETCH_GROUP
@@ -197,14 +197,14 @@ class SingleEndRunner:
         else:
             self.split_set = None
             if opt.failed_out:
-                self.failed_writer = AsyncWriter(
-                    Writer(opt.failed_out, opt.compression,
-                           buffer_size=opt.writer_buffer_size))
+                self.failed_writer = make_output_writer(
+                    opt.failed_out, opt.compression,
+                    buffer_size=opt.writer_buffer_size)
             if opt.out or opt.output_to_stdout:
-                self.out_writer = AsyncWriter(
-                    Writer(opt.out, opt.compression,
-                           stdout=opt.output_to_stdout,
-                           buffer_size=opt.writer_buffer_size))
+                self.out_writer = make_output_writer(
+                    opt.out, opt.compression,
+                    stdout=opt.output_to_stdout,
+                    buffer_size=opt.writer_buffer_size)
 
         reader = FastqStreamReader(
             "/dev/stdin" if opt.input_from_stdin and not opt.in_file

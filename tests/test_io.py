@@ -204,3 +204,74 @@ def test_corrupt_gzip_streaming_path_diagnostic(tmp_path, capsys):
     with pytest.raises(SystemExit):
         collect(r)
     assert "igzip: encountered while decompressing" in capsys.readouterr().err
+
+
+def test_parallel_gzip_writer_matches_sequential(tmp_path):
+    """ParallelGzipWriter must produce the EXACT bytes of the sequential
+    Writer: same member boundaries (flush semantics), same level, same
+    compressor — only the scheduling differs."""
+    import gzip
+    import numpy as np
+    from fastplong_tpu.io.writer import Writer, ParallelGzipWriter
+
+    rng = np.random.default_rng(5)
+    # chunk pattern exercising every branch: small appends, a chunk that
+    # triggers flush, and an oversized chunk written as its own member
+    chunks = []
+    for _ in range(60):
+        n = int(rng.choice([10, 1000, 3000, 5000, 9000]))
+        chunks.append(bytes(rng.integers(65, 91, size=n).astype(np.uint8)))
+
+    seq_path = str(tmp_path / "seq.fq.gz")
+    par_path = str(tmp_path / "par.fq.gz")
+    w = Writer(seq_path, compression=4, buffer_size=4096)
+    for c in chunks:
+        w.write(c)
+    w.close()
+    p = ParallelGzipWriter(par_path, compression=4, threads=3,
+                           buffer_size=4096)
+    for c in chunks:
+        p.write(c)
+    p.close()
+
+    a = open(seq_path, "rb").read()
+    b = open(par_path, "rb").read()
+    assert a == b
+    assert gzip.decompress(b) == b"".join(chunks)
+
+
+def test_parallel_gzip_writer_failure_surfaces(tmp_path, monkeypatch):
+    from fastplong_tpu.io import writer as writer_mod
+
+    class Boom(writer_mod.GzipMemberCompressor):
+        def compress(self, data):
+            raise OSError("compressor exploded")
+
+    monkeypatch.setattr(writer_mod, "GzipMemberCompressor", Boom)
+    p = writer_mod.ParallelGzipWriter(str(tmp_path / "x.gz"), threads=2,
+                                      buffer_size=64)
+    import pytest as _pytest
+    with _pytest.raises(OSError):
+        try:
+            for _ in range(200):  # survives back-pressure: drain continues
+                p.write(b"y" * 48)
+                import time as _t
+                _t.sleep(0.001)
+        finally:
+            p.close()
+
+
+def test_make_output_writer_dispatch(tmp_path):
+    from fastplong_tpu.io.writer import (make_output_writer,
+                                         ParallelGzipWriter, AsyncWriter)
+    w = make_output_writer(str(tmp_path / "a.fq.gz"))
+    assert isinstance(w, ParallelGzipWriter)
+    w.write(b"@r\nA\n+\n!\n")
+    w.close()
+    w2 = make_output_writer(str(tmp_path / "a.fq"))
+    assert isinstance(w2, AsyncWriter)
+    w2.write(b"@r\nA\n+\n!\n")
+    w2.close()
+    import gzip
+    assert gzip.decompress(open(tmp_path / "a.fq.gz", "rb").read()) == \
+        open(tmp_path / "a.fq", "rb").read()
