@@ -26,7 +26,7 @@ profile (which runs first) populates the persistent XLA compile cache, so
 a fresh process starts warm — exactly how a production process would — and
 its dispatches never execute in the degraded post-first-d2h regime.
 Env knobs: FASTPLONG_BENCH_PROFILES=plain,headline,device,gz,short
-FASTPLONG_BENCH_HEADLINE_RUNS=2 (best-of-N fresh headline processes;
+FASTPLONG_BENCH_HEADLINE_RUNS=3 (best-of-N fresh headline processes;
 the documented d2h weather swings make single samples meaningless)
 FASTPLONG_BENCH_READS=8000 / FASTPLONG_BENCH_MEAN_LEN=8000 (input size)
 FASTPLONG_BENCH_DEVICES=1 (comma list; >1 entries adds a "scaling" table
@@ -241,7 +241,7 @@ def main():
             if prof == "headline":
                 # best of N fresh processes: the d2h path's documented
                 # weather swings make single samples meaningless
-                n = int(os.environ.get("FASTPLONG_BENCH_HEADLINE_RUNS", "2"))
+                n = int(os.environ.get("FASTPLONG_BENCH_HEADLINE_RUNS", "3"))
                 best, runs = None, []
                 for _ in range(max(1, n)):
                     part, err = run_child(prof)

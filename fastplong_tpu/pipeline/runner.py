@@ -419,10 +419,34 @@ class SingleEndRunner:
         for bs in self.device_stats.buckets.values():
             if not bs.pending:
                 continue
-            buf = (bs.outbuf if len(bs.pending) >= FETCH_GROUP
-                   else bs.outbuf[:len(bs.pending)])
-            add_part(bs.pending, buf)
-            bs.pending = []
+            pending, bs.pending = bs.pending, []
+            n = len(pending)
+            buf = bs.outbuf
+            B = buf.shape[1]
+            if self.placement is not None:
+                # mesh mode: the ring may be sharded over the row axis —
+                # row-trimming would force a reshard, so drain whole slots
+                add_part(pending, buf if n >= FETCH_GROUP else buf[:n])
+                continue
+            # a partially-filled batch (end of input, watermark kick) uses
+            # only a prefix of its slot's B rows; transfer just that prefix
+            # — drained bytes are the scarce resource on this interconnect.
+            # Full slots stay grouped so the drain stays a few device ops.
+            used = [min(B, sum(len(s.indices) for s in b.segments))
+                    for b in pending]
+            i = 0
+            while i < n:
+                if used[i] >= B:
+                    j = i
+                    while j < n and used[j] >= B:
+                        j += 1
+                    add_part(pending[i:j],
+                             buf if (i == 0 and j >= FETCH_GROUP)
+                             else buf[i:j])
+                    i = j
+                else:
+                    add_part(pending[i:i + 1], buf[i:i + 1, :used[i]])
+                    i += 1
         ds = self.device_stats
         if (final and ds.placement is None and ds.state is not None
                 and ds.stat_batches):
@@ -467,6 +491,17 @@ class SingleEndRunner:
 
     def _consume_batch(self, rows, batch):
         """Decode one batch's packed rows and route the results."""
+        if rows.shape[0] < len(batch.lens):
+            # row-trimmed drain (partial batch): used rows are a contiguous
+            # prefix, so the batch-side arrays narrow to match — everything
+            # beyond is padding (read_mask False, no segment reaches it)
+            n = rows.shape[0]
+            batch.lens = batch.lens[:n]
+            batch.read_mask = batch.read_mask[:n]
+            if batch.pre_medians is not None:
+                batch.pre_medians = batch.pre_medians[:n]
+            if batch.packed is not None:
+                batch.packed = batch.packed[:n]
         out = PackedResults(rows, self.cap, len(self.stages))
         if batch.L > self.stat_cap:
             self._host_stat_batch(out, batch)
