@@ -166,7 +166,7 @@ def main():
     os.makedirs(workdir, exist_ok=True)
     profiles = os.environ.get(
         "FASTPLONG_BENCH_PROFILES",
-        "plain,headline,device,gz,short").split(",")
+        "plain,headline,device,gz,short,scaling").split(",")
     # each profile runs in a FRESH subprocess by default: device work in
     # one profile degrades the interconnect for everything after it in the
     # same process (first-d2h poisoning, see README), which would charge
@@ -197,7 +197,20 @@ def main():
             env = dict(os.environ)
             env["FASTPLONG_BENCH_PROFILES"] = prof
             env["FASTPLONG_BENCH_CHILD"] = "1"
-            if prof != "plain":
+            if prof == "scaling":
+                # multi-device scaling table on a virtual CPU mesh: real
+                # multi-chip hardware is not reachable from this host, and
+                # the CPU mesh is weather-independent — it validates the
+                # sharded path's overhead, not absolute throughput
+                env["JAX_PLATFORMS"] = "cpu"
+                flags = env.get("XLA_FLAGS", "")
+                if "host_platform_device_count" not in flags:
+                    env["XLA_FLAGS"] = (
+                        flags + " --xla_force_host_platform_device_count=8"
+                    ).strip()
+                env["FASTPLONG_BENCH_DEVICES"] = "1,2,4,8"
+                env.setdefault("FASTPLONG_BENCH_READS", "2000")
+            elif prof != "plain":
                 # the scaling table only runs in the plain child (forcing,
                 # not setdefault: the parent's own env var would leak the
                 # multi-device table into every child otherwise)
@@ -254,6 +267,9 @@ def main():
                         best = part
                 if best is not None:
                     merged["headline_runs"] = runs
+                    vals = sorted(v for v in runs if v)
+                    if vals:
+                        merged["headline_median"] = vals[len(vals) // 2]
                     for k, v in best.items():
                         merged[k] = v
                     # a plain child merged earlier may have stamped its
@@ -349,8 +365,26 @@ def main():
         result["vs_baseline"] = round(value / BASELINE_BASES_PER_S, 4)
         result["wall_seconds"] = round(dt, 3)
         result["stage_seconds"] = runner.timer.report()
-        # d2h weather probe (AFTER the timed run: the probe itself poisons)
-        result["d2h_probe_mbps"] = _d2h_probe()
+        # transfer accounting + link probes (both AFTER the timed run, in
+        # the same degraded-link state the run mostly experienced): the
+        # weather-normalized ceiling lets the driver distinguish "pipeline
+        # regressed" from "tunnel degraded" round over round
+        result["bytes_h2d"] = runner.bytes_h2d
+        result["bytes_d2h"] = runner.bytes_d2h
+        result["bytes_h2d_per_base"] = round(runner.bytes_h2d
+                                             / max(1, total_bases), 3)
+        result["exec_load_seconds"] = runner.load_seconds
+        h2d_bw = _h2d_probe()
+        result["h2d_probe_mbps"] = h2d_bw
+        d2h_bw = _d2h_probe()
+        result["d2h_probe_mbps"] = d2h_bw
+        if h2d_bw > 0 and d2h_bw > 0:
+            link_s = (runner.bytes_h2d / 1e6 / h2d_bw
+                      + runner.bytes_d2h / 1e6 / d2h_bw)
+            if link_s > 0:
+                ceiling = total_bases / link_s
+                result["link_ceiling_bases_per_second"] = round(ceiling, 1)
+                result["vs_link_ceiling"] = round(value / ceiling, 4)
 
         # measured CPU anchor (tools/cpu_anchor.py): compare against the
         # reference binary's matching config (3_adapters, best threads)
@@ -462,6 +496,22 @@ def main():
     print(json.dumps(result))
 
 
+def _h2d_probe(nbytes=1 << 24):
+    """Host->device bandwidth right now, MB/s (best of two 16MB puts —
+    the first may pay allocator warm-up)."""
+    import numpy as np
+    import jax
+    import time as _t
+    x = np.random.default_rng(0).integers(
+        0, 255, size=nbytes, dtype=np.uint8)
+    best = 0.0
+    for _ in range(2):
+        t0 = _t.time()
+        jax.block_until_ready(jax.device_put(x))
+        best = max(best, nbytes / 1e6 / (_t.time() - t0))
+    return round(best, 3)
+
+
 def _d2h_probe(nbytes=1 << 20):
     """Device->host bandwidth right now, in MB/s (one fresh 1MB fetch).
 
@@ -518,22 +568,20 @@ def _h2d_step_rate(opt):
     L = 8192
     B = batch_rows(L)
     rng = np.random.default_rng(0)
-    packed = np.zeros((B, 2 * L + 8), np.uint8)
-    packed[:, :L] = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(B, L))
-    packed[:, L:2 * L] = rng.integers(38, 73, size=(B, L)).astype(np.uint8)
-    packed[:, 2 * L:2 * L + 4] = np.frombuffer(
-        np.full(1, L, "<i4").tobytes(), np.uint8)
-    packed[:, 2 * L + 4] = 1
+    from fastplong_tpu.pipeline.device import pack_input_b5
+    bases = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(B, L))
+    quals = rng.integers(38, 73, size=(B, L)).astype(np.uint8)
+    packed = pack_input_b5(bases, quals, np.full(B, L, np.int32),
+                           np.ones(B, bool))
     state = init_stats_state(global_stat_len())
-    outbuf = jax.device_put(
-        np.zeros((FETCH_GROUP, B, out_fields(opt)), np.int32))
-    state, outbuf = step(state, outbuf, np.int32(0), jnp.asarray(packed))
+    outbuf = jnp.zeros((FETCH_GROUP, B, out_fields(opt)), jnp.int32)
+    state, outbuf = step(state, outbuf, np.int32(0), jnp.asarray(packed), L)
     jax.block_until_ready((state, outbuf))
     n = 8
     t0 = _t.time()
     for i in range(n):
         state, outbuf = step(state, outbuf, np.int32(i % FETCH_GROUP),
-                             jnp.asarray(packed))
+                             jnp.asarray(packed), L)
     jax.block_until_ready((state, outbuf))
     return B * L * n / (_t.time() - t0)
 

@@ -65,6 +65,10 @@ def get_lib():
     lib.fpl_pack_batch.argtypes = [
         ctypes.c_char_p, i64p, i64p, i64p, i64p,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
+    lib.fpl_pack_batch_b5.restype = ctypes.c_int
+    lib.fpl_pack_batch_b5.argtypes = [
+        ctypes.c_char_p, i64p, i64p, i64p, i64p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
     lib.fpl_emit_pieces2.restype = None
     lib.fpl_emit_pieces2.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
@@ -73,7 +77,7 @@ def get_lib():
     lib.fpl_stat_rows.restype = None
     lib.fpl_stat_rows.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        i64p, i64p, i64p, i64p, u8p, ctypes.c_int64,
+        ctypes.c_int, i64p, i64p, i64p, i64p, u8p, ctypes.c_int64,
         i64p, i64p, i64p, i64p, i64p, u8p]
     szp = ctypes.POINTER(ctypes.c_size_t)
     lib.fpl_gzip_decompress_member.restype = ctypes.c_int
@@ -126,7 +130,7 @@ def pack_batch_into(out, row_offset, arr_bytes, seq_off, seq_len, qual_off,
     return True
 
 
-def stat_rows(packed, L, lo, hi, mlo, mhi, rowmask,
+def stat_rows(packed, L, is_b5, lo, hi, mlo, mhi, rowmask,
               cyc, q20, q30, hist, kmer, medians):
     """Native statRead over packed rows into the given int64 accumulators
     (drain layout).  Returns False if the native lib is unavailable."""
@@ -141,7 +145,7 @@ def stat_rows(packed, L, lo, hi, mlo, mhi, rowmask,
 
     lib.fpl_stat_rows(
         packed.ctypes.data_as(ctypes.c_void_p),
-        packed.shape[0], packed.shape[1], L,
+        packed.shape[0], packed.shape[1], L, 1 if is_b5 else 0,
         i64(lo), i64(hi), i64(mlo), i64(mhi),
         (np.ascontiguousarray(rowmask, np.uint8).ctypes.data_as(u8p)
          if rowmask is not None else None),
@@ -150,6 +154,25 @@ def stat_rows(packed, L, lo, hi, mlo, mhi, rowmask,
         _as_i64_ptr(hist), _as_i64_ptr(kmer),
         medians.ctypes.data_as(u8p))
     return True
+
+
+def pack_batch_b5_into(out, row_offset, arr_bytes, seq_off, seq_len,
+                       qual_off, indices, L):
+    """Native base5 packed-batch fill into out[row_offset:...].  Returns
+    True on success, False if a byte fell outside the base5 alphabet
+    (caller must fall back to the wide layout), or None if the native
+    lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ptr = out.ctypes.data + row_offset * out.shape[1]
+    r = lib.fpl_pack_batch_b5(
+        arr_bytes, _as_i64_ptr(np.ascontiguousarray(seq_off)),
+        _as_i64_ptr(np.ascontiguousarray(seq_len)),
+        _as_i64_ptr(np.ascontiguousarray(qual_off)),
+        _as_i64_ptr(np.ascontiguousarray(indices.astype(np.int64))),
+        len(indices), L, ctypes.c_void_p(ptr), out.shape[0] - row_offset)
+    return bool(r)
 
 
 def gzip_decompress_member(data, offset: int, cap_hint: int):

@@ -109,6 +109,56 @@ void fpl_pack_batch(const uint8_t* buf,
     }
 }
 
+// Fills base5-packed device batch rows: out[k, 0:L] gets
+// code(base) + 5*(qual-33) per position (padding 255), then len(le32)||mask.
+// Row stride is L + 8 — ONE byte per base, decoded on-device; h2d volume
+// is a first-order cost on weak links.  Returns 1 on success, 0 if any
+// byte is outside the base5 alphabet (A/C/G/T/N, qual 33..83) — the
+// caller falls back to the wide layout (partially-written rows are
+// discarded by the caller).
+int fpl_pack_batch_b5(const uint8_t* buf,
+                      const int64_t* seq_off, const int64_t* seq_len,
+                      const int64_t* qual_off,
+                      const int64_t* indices, int64_t take_n,
+                      int64_t L, uint8_t* out, int64_t out_rows) {
+    static uint16_t code_tab[256];
+    static uint16_t qmul_tab[256];
+    static bool init = false;
+    if (!init) {
+        for (int i = 0; i < 256; i++) { code_tab[i] = 0x100; qmul_tab[i] = 0x200; }
+        code_tab[(unsigned char)'A'] = 0;
+        code_tab[(unsigned char)'C'] = 1;
+        code_tab[(unsigned char)'G'] = 2;
+        code_tab[(unsigned char)'T'] = 3;
+        code_tab[(unsigned char)'N'] = 4;
+        for (int q = 33; q <= 83; q++) qmul_tab[q] = (uint16_t)(5 * (q - 33));
+        init = true;
+    }
+    const int64_t stride = L + 8;
+    (void)out_rows;
+    for (int64_t k = 0; k < take_n; k++) {
+        int64_t i = indices[k];
+        int64_t sl = seq_len[i];
+        if (sl > L) sl = L;
+        uint8_t* row = out + k * stride;
+        const uint8_t* s = buf + seq_off[i];
+        const uint8_t* q = buf + qual_off[i];
+        uint16_t bad = 0;
+        for (int64_t p = 0; p < sl; p++) {
+            uint16_t v = code_tab[s[p]] + qmul_tab[q[p]];
+            bad |= v;
+            row[p] = (uint8_t)v;
+        }
+        if (bad & 0x300) return 0;
+        if (sl < L) memset(row + sl, 255, (size_t)(L - sl));
+        uint32_t len32 = (uint32_t)sl;
+        memcpy(row + L, &len32, 4);
+        row[L + 4] = 1;
+        row[L + 5] = row[L + 6] = row[L + 7] = 0;
+    }
+    return 1;
+}
+
 // ---------------------------------------------------------------- emission
 
 // Concatenates src[offs[i] : offs[i]+lens[i]] for all pieces into out.
@@ -198,9 +248,10 @@ size_t fpl_gzip_compress(const void* data, size_t n, void* out,
 // shipping the per-cycle accumulators over a weak device link would cost
 // more than recomputing them here at memory speed.
 //
-// packed row layout (pipeline/device.pack_input): bases[0:L], quals[L:2L],
-// little-endian length at 2L, row-valid byte at 2L+4; stride = 2L+8.
-// Span per row: [lo[i], hi[i]) in read coordinates; bases inside
+// packed row layout: wide (is_b5=0) — bases[0:L], quals[L:2L], stride
+// 2L+8; base5 (is_b5=1) — one code+5*(qual-33) byte per base, stride L+8
+// (pipeline/batches.py).  Span per row: [lo[i], hi[i]) in read
+// coordinates; bases inside
 // [mlo[i], mhi[i]) are treated as 'N' (maskRegionWithN semantics) without
 // touching qualities.  Cycle c of the span is position lo+c.
 //
@@ -209,7 +260,7 @@ size_t fpl_gzip_compress(const void* data, size_t n, void* out,
 // pipeline/device.unflatten_side), q20/q30[8] per-base totals, hist[128],
 // kmer[1024].  medians[i] gets the span's sorted[n>>1] quality byte.
 void fpl_stat_rows(const uint8_t* packed, int64_t nrows, int64_t stride,
-                   int64_t L,
+                   int64_t L, int is_b5,
                    const int64_t* lo, const int64_t* hi,
                    const int64_t* mlo, const int64_t* mhi,
                    const uint8_t* rowmask,
@@ -217,6 +268,7 @@ void fpl_stat_rows(const uint8_t* packed, int64_t nrows, int64_t stride,
                    int64_t* cyc, int64_t* q20, int64_t* q30,
                    int64_t* hist, int64_t* kmer, uint8_t* medians) {
     static int8_t code[256];
+    static uint8_t b5base[256], b5qual[256];
     static bool init = false;
     if (!init) {
         memset(code, -1, sizeof(code));
@@ -225,13 +277,19 @@ void fpl_stat_rows(const uint8_t* packed, int64_t nrows, int64_t stride,
         code[(unsigned char)'U'] = 1;
         code[(unsigned char)'C'] = 2;
         code[(unsigned char)'G'] = 3;
+        static const char kB5[5] = {'A', 'C', 'G', 'T', 'N'};
+        for (int v = 0; v < 256; v++) {
+            if (v == 255) { b5base[v] = 0; b5qual[v] = 0; continue; }
+            b5base[v] = (uint8_t)kB5[v % 5];
+            b5qual[v] = (uint8_t)(v / 5 + 33);
+        }
         init = true;
     }
     for (int64_t i = 0; i < nrows; i++) {
         medians[i] = 0;
         if (rowmask && !rowmask[i]) continue;
         const uint8_t* b = packed + i * stride;
-        const uint8_t* q = b + L;
+        const uint8_t* q = b + (is_b5 ? 0 : L);
         int64_t s = lo ? lo[i] : 0;
         int64_t e = hi[i];
         if (e > L) e = L;
@@ -245,18 +303,21 @@ void fpl_stat_rows(const uint8_t* packed, int64_t nrows, int64_t stride,
         uint32_t key = 0;
         int run = 0;
         for (int64_t p = s; p < e; p++) {
-            uint8_t base = (p >= ms && p < me) ? (uint8_t)'N' : b[p];
-            int64_t qv = (int64_t)q[p] - 33;
+            uint8_t raw = b[p];
+            uint8_t bch = is_b5 ? b5base[raw] : raw;
+            uint8_t qch = is_b5 ? b5qual[raw] : q[p];
+            uint8_t base = (p >= ms && p < me) ? (uint8_t)'N' : bch;
+            int64_t qv = (int64_t)qch - 33;
             int64_t* c18 = cyc + (p - s) * 18;
             int bucket = base & 0x07;
             c18[bucket] += 1;
             c18[8 + bucket] += qv;
             c18[16] += 1;
             c18[17] += qv;
-            if (q[p] >= '5') q20[bucket] += 1;
-            if (q[p] >= '?') q30[bucket] += 1;
-            hist[q[p] < 127 ? q[p] : 127] += 1;
-            qh[q[p]] += 1;
+            if (qch >= '5') q20[bucket] += 1;
+            if (qch >= '?') q30[bucket] += 1;
+            hist[qch < 127 ? qch : 127] += 1;
+            qh[qch] += 1;
             int8_t cd = code[base];
             if (cd < 0) {
                 run = 0;

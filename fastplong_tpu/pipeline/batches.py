@@ -1,10 +1,27 @@
 """Padded batch construction with length bucketing.
 
 RecordBlocks are columnar (bytes + offsets); this module packs reads into
-fixed-shape [B, 2L+8] uint8 device feeds (bases || quals || len || mask
-per row).  Reads are grouped by length bucket so padding stays bounded, and
-batch shapes are canonical — one (B, L) pair per bucket — because every new
-shape costs an XLA compile.
+fixed-shape uint8 device feeds.  Two row layouts exist:
+
+  base5  [B, L+8]   one byte per base: code + 5*(qual-33), code in
+                    {A:0, C:1, G:2, T:3, N:4}; 255 marks padding.  The
+                    device decodes bases/quals on-chip (device.py), so the
+                    h2d feed costs 1 byte/base instead of 2 — host->device
+                    volume is a first-order cost on weak links.
+  wide   [B, 2L+8]  bases || quals verbatim — the fallback for rows the
+                    base5 alphabet can't express (IUPAC codes, lowercase,
+                    qualities above Q50).  Behavior is identical either
+                    way: base5 decode reproduces the original bytes
+                    exactly or the builder falls back.
+
+Both layouts end with len(le32) || mask || 3 zero bytes per row.
+
+Reads are grouped by length bucket so padding stays bounded, and batch
+shapes are canonical — one (B, L) pair per bucket — because every new
+shape costs an XLA compile AND an executable load onto the device (seconds
+each through a tunneled interconnect; see runner prewarm).  Bucket growth
+is 4x by default: fewer shapes beat less padding when h2d runs at GB/s
+but each first-call-per-shape costs seconds.
 
 BatchBuilder accumulates reads ACROSS RecordBlocks until a batch is full,
 so partially-filled batches only occur at end of input; the runner tracks
@@ -17,16 +34,26 @@ from ..common import TOKENS_PER_BATCH, MAX_BATCH_READS
 
 import os as _os
 
-# length buckets: powers of two (density 1), optionally with 1.5x midpoints
-# (FASTPLONG_BUCKET_DENSITY=2) — halves padding waste at the cost of twice
-# as many compiled shapes
-_DENSITY = int(_os.environ.get("FASTPLONG_BUCKET_DENSITY", "1"))
+# length buckets: geometric from FASTPLONG_BUCKET_MIN with integer growth
+# FASTPLONG_BUCKET_GROWTH (4 = fewest compiled shapes, 2 = least padding)
+_GROWTH = max(2, int(_os.environ.get("FASTPLONG_BUCKET_GROWTH", "4")))
+_MIN = max(64, int(_os.environ.get("FASTPLONG_BUCKET_MIN", "1024")))
 _BUCKETS = []
-for _k in range(7, 31):
-    _BUCKETS.append(1 << _k)
-    if _DENSITY >= 2 and _k < 30:
-        _BUCKETS.append((1 << _k) + (1 << (_k - 1)))
-_BUCKETS.sort()
+_b = _MIN
+while _b < (1 << 30):
+    _BUCKETS.append(_b)
+    _b *= _GROWTH
+_BUCKETS.append(_b)
+
+# base5 pack tables: v16 = CODE[s] + QMUL[q]; any byte outside the base5
+# alphabet or quality range leaves bit 8/9 set -> fall back to wide
+_B5_CODE = np.full(256, 0x100, np.uint16)
+for _c, _v in ((ord("A"), 0), (ord("C"), 1), (ord("G"), 2), (ord("T"), 3),
+               (ord("N"), 4)):
+    _B5_CODE[_c] = _v
+_B5_QMUL = np.full(256, 0x200, np.uint16)
+for _q in range(33, 84):
+    _B5_QMUL[_q] = 5 * (_q - 33)
 
 
 def bucket_len(n: int) -> int:
@@ -62,15 +89,16 @@ class Segment:
 
 
 class Batch:
-    __slots__ = ("packed", "lens", "read_mask", "segments", "L",
+    __slots__ = ("packed", "lens", "read_mask", "segments", "L", "layout",
                  "pre_medians")
 
-    def __init__(self, packed, lens, read_mask, segments, L):
-        self.packed = packed        # [B, 2L+8] uint8
+    def __init__(self, packed, lens, read_mask, segments, L, layout="b5"):
+        self.packed = packed        # [B, L+8] (base5) or [B, 2L+8] (wide)
         self.lens = lens            # [B] int32
         self.read_mask = read_mask  # [B] bool
         self.segments = segments
         self.L = L
+        self.layout = layout
         self.pre_medians = None     # host-stats mode: per-row median bytes
 
 
@@ -78,11 +106,16 @@ class BatchBuilder:
     def __init__(self, L, rows_multiple=1):
         self.L = L
         self.rows = batch_rows(L, rows_multiple)
+        self.layout = "b5"
         self._reset()
 
     def _reset(self):
-        stride = 2 * self.L + 8
-        self.packed = np.zeros((self.rows, stride), np.uint8)
+        L = self.L
+        if self.layout == "b5":
+            self.packed = np.full((self.rows, L + 8), 255, np.uint8)
+            self.packed[:, L:] = 0
+        else:
+            self.packed = np.zeros((self.rows, 2 * L + 8), np.uint8)
         self.lens = np.zeros(self.rows, np.int32)
         self.read_mask = np.zeros(self.rows, bool)
         self.segments = []
@@ -101,6 +134,51 @@ class BatchBuilder:
         fit in the remaining space."""
         k = len(take)
         r0 = self.count
+        if self.layout == "b5" and not self._add_b5(block, take, r0):
+            # a byte outside the base5 alphabet: this builder goes wide
+            # for the rest of the run (such files usually stay weird)
+            self._widen()
+        if self.layout == "wide":
+            self._add_wide(block, take, r0)
+        sl = block.seq_len[take]
+        self.lens[r0:r0 + k] = sl
+        self.read_mask[r0:r0 + k] = True
+        self.segments.append(Segment(block, np.asarray(take), r0))
+        self.count += k
+
+    def _add_b5(self, block, take, r0):
+        """base5-pack records into rows [r0:]; False if any byte doesn't
+        fit the base5 alphabet (caller widens and repacks)."""
+        try:
+            from ..native import pack_batch_b5_into
+            r = pack_batch_b5_into(
+                self.packed, r0, block.buf, block.seq_off, block.seq_len,
+                block.qual_off, take, self.L)
+        except Exception:
+            r = None
+        if r is not None:
+            return r
+        L = self.L
+        k = len(take)
+        sl = block.seq_len[take]
+        col = np.arange(L, dtype=np.int64)
+        src_b = block.seq_off[take][:, None] + col[None, :]
+        src_q = block.qual_off[take][:, None] + col[None, :]
+        valid = col[None, :] < sl[:, None]
+        v16 = (_B5_CODE[block.arr[np.where(valid, src_b, 0)]]
+               + _B5_QMUL[block.arr[np.where(valid, src_q, 0)]])
+        if (v16[valid] > 254).any():
+            return False
+        dst = self.packed[r0:r0 + k, :L]
+        np.copyto(dst, v16.astype(np.uint8), where=valid)
+        np.copyto(dst, np.uint8(255), where=~valid)
+        self.packed[r0:r0 + k, L:L + 4] = sl.astype(
+            "<i4").view(np.uint8).reshape(k, 4)
+        self.packed[r0:r0 + k, L + 4] = 1
+        self.packed[r0:r0 + k, L + 5:] = 0
+        return True
+
+    def _add_wide(self, block, take, r0):
         filled = False
         try:
             from ..native import pack_batch_into
@@ -109,28 +187,43 @@ class BatchBuilder:
                 block.qual_off, take, self.L)
         except Exception:
             filled = False
+        if filled:
+            return
+        L = self.L
+        k = len(take)
         sl = block.seq_len[take]
-        if not filled:
-            L = self.L
-            col = np.arange(L, dtype=np.int64)
-            src_b = block.seq_off[take][:, None] + col[None, :]
-            src_q = block.qual_off[take][:, None] + col[None, :]
-            valid = col[None, :] < sl[:, None]
-            np.copyto(self.packed[r0:r0 + k, :L],
-                      block.arr[np.where(valid, src_b, 0)], where=valid)
-            np.copyto(self.packed[r0:r0 + k, L:2 * L],
-                      block.arr[np.where(valid, src_q, 0)], where=valid)
-            self.packed[r0:r0 + k, 2 * L:2 * L + 4] = sl.astype(
-                "<i4").view(np.uint8).reshape(k, 4)
-            self.packed[r0:r0 + k, 2 * L + 4] = 1
-        self.lens[r0:r0 + k] = sl
-        self.read_mask[r0:r0 + k] = True
-        self.segments.append(Segment(block, np.asarray(take), r0))
-        self.count += k
+        col = np.arange(L, dtype=np.int64)
+        src_b = block.seq_off[take][:, None] + col[None, :]
+        src_q = block.qual_off[take][:, None] + col[None, :]
+        valid = col[None, :] < sl[:, None]
+        np.copyto(self.packed[r0:r0 + k, :L],
+                  block.arr[np.where(valid, src_b, 0)], where=valid)
+        np.copyto(self.packed[r0:r0 + k, L:2 * L],
+                  block.arr[np.where(valid, src_q, 0)], where=valid)
+        self.packed[r0:r0 + k, 2 * L:2 * L + 4] = sl.astype(
+            "<i4").view(np.uint8).reshape(k, 4)
+        self.packed[r0:r0 + k, 2 * L + 4] = 1
+
+    def _widen(self):
+        """Convert the (partially filled) base5 buffer to the wide layout
+        in place; the builder stays wide afterwards."""
+        L = self.L
+        old = self.packed
+        self.layout = "wide"
+        wide = np.zeros((self.rows, 2 * L + 8), np.uint8)
+        if self.count:
+            v = old[:self.count, :L]
+            pad = v == 255
+            q5 = v // 5
+            wide[:self.count, :L] = np.where(
+                pad, 0, np.frombuffer(b"ACGTN\0\0\0", np.uint8)[v - q5 * 5])
+            wide[:self.count, L:2 * L] = np.where(pad, 0, q5 + 33)
+        wide[:self.rows, 2 * L:] = old[:self.rows, L:]
+        self.packed = wide
 
     def take_batch(self):
         b = Batch(self.packed, self.lens, self.read_mask, self.segments,
-                  self.L)
+                  self.L, self.layout)
         self._reset()
         return b
 

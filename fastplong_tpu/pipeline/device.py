@@ -465,9 +465,11 @@ def packed_fields(opt):
 
 
 def pack_input(bases, quals, lens, read_mask):
-    """Host-side: one [B, 2L+8] uint8 array = bases||quals||lens(le)||mask.
-
-    A single h2d transfer per batch (each extra array costs an RTT)."""
+    """Host-side wide layout: one [B, 2L+8] uint8 array =
+    bases||quals||lens(le)||mask.  A single h2d transfer per batch (each
+    extra array costs an RTT).  The production path uses the 1-byte-per-
+    base base5 layout (pack_input_b5 / pipeline/batches.py); wide is the
+    fallback for rows outside the base5 alphabet."""
     import numpy as np
     B, L = bases.shape
     out = np.empty((B, 2 * L + 8), np.uint8)
@@ -479,17 +481,78 @@ def pack_input(bases, quals, lens, read_mask):
     return out
 
 
+def pack_input_b5(bases, quals, lens, read_mask):
+    """Host-side base5 layout: one [B, L+8] uint8 array, one byte per base
+    (code + 5*(qual-33); 255 = padding) followed by lens(le)||mask.
+
+    Requires bases in {A,C,G,T,N} and qual chars 33..83; raises ValueError
+    otherwise (production packing falls back to the wide layout instead,
+    pipeline/batches.BatchBuilder)."""
+    import numpy as np
+    from .batches import _B5_CODE, _B5_QMUL
+    B, L = bases.shape
+    v16 = _B5_CODE[bases] + _B5_QMUL[quals]
+    valid_cols = np.arange(L)[None, :] < np.asarray(lens).reshape(B, 1)
+    valid_cols &= np.asarray(read_mask).reshape(B, 1)
+    if (v16[valid_cols] > 254).any():
+        raise ValueError("input outside the base5 alphabet")
+    out = np.empty((B, L + 8), np.uint8)
+    out[:, :L] = np.where(valid_cols, v16.astype(np.uint8), 255)
+    out[:, L:L + 4] = lens.astype("<i4").view(np.uint8).reshape(B, 4)
+    out[:, L + 4] = read_mask.astype(np.uint8)
+    out[:, L + 5:] = 0
+    return out
+
+
+import numpy as _np
+# numpy constant, converted per trace — a cached jnp array created inside
+# one jit trace would leak that trace's tracer into every later trace
+_B5_BASE_LUT = _np.frombuffer(b"ACGTN", _np.uint8)
+
+
+def unpack_on_device(packed_in, L):
+    """Split one packed batch into (bases, quals, lens, read_mask) on
+    device.  Layout inferred from the row stride: L+8 = base5 (decode
+    one byte per base), 2L+8 = wide (verbatim).  base5 decode reproduces
+    the wide bytes EXACTLY (padding 255 -> base 0, qual 0), so the kernel
+    chain behaves identically for either feed."""
+    W = packed_in.shape[1]
+    if W == L + 8:
+        x = packed_in[:, :L]
+        q5 = x // jnp.uint8(5)
+        pad = x == jnp.uint8(255)
+        bases = jnp.where(pad, jnp.uint8(0),
+                          jnp.take(jnp.asarray(_B5_BASE_LUT),
+                                   x - q5 * jnp.uint8(5)))
+        quals = jnp.where(pad, jnp.uint8(0), q5 + jnp.uint8(33))
+        meta = packed_in[:, L:]
+    elif W == 2 * L + 8:
+        bases = packed_in[:, :L]
+        quals = packed_in[:, L:2 * L]
+        meta = packed_in[:, 2 * L:]
+    else:
+        raise ValueError("packed width %d does not match L=%d" % (W, L))
+    lb = meta[:, :4].astype(jnp.int32)
+    lens = lb[:, 0] | (lb[:, 1] << 8) | (lb[:, 2] << 16) | (lb[:, 3] << 24)
+    read_mask = meta[:, 4] != 0
+    return bases, quals, lens, read_mask
+
+
 def make_fast_fn(opt, with_stats=True):
-    """Returns (raw python fn(state, outbuf, slot, packed_in) ->
+    """Returns (raw python fn(state, outbuf, slot, packed_in, L) ->
     (state', outbuf'), stages) — unjitted, so the mesh path can wrap the
-    same function in shard_map (pipeline/sharding.py).
+    same function in shard_map (pipeline/sharding.py).  L is the bucket
+    length (static under jit): the packed row stride alone cannot
+    distinguish the base5 layout of one bucket from the wide layout of
+    another.
 
     The function is shape-polymorphic over a leading per-device axis on the
     state leaves: accumulation broadcasts the [8, L]-shaped batch partial
     against state of either [8, L] (single device) or [1, 8, L] (the
     per-device shard seen inside shard_map).
 
-    packed_in: [B, 2L+8] uint8 from pack_input().
+    packed_in: [B, L+8] uint8 (base5, pipeline/batches.py) or [B, 2L+8]
+      (wide fallback, pack_input()).
     outbuf: [K, B, F] int32 ring buffer of per-batch packed outputs; the
       step writes this batch's rows at index `slot` (host-managed counter
       mod K).  The host fetches the whole buffer once per K batches —
@@ -509,15 +572,9 @@ def make_fast_fn(opt, with_stats=True):
     cap = out_cap(opt)
     n_stages = len(stages)
 
-    def core(outbuf, slot, packed_in):
-        # packed_in: [B, 2L+8] uint8 = bases || quals || lens(le32) || mask
+    def core(outbuf, slot, packed_in, L):
         B = packed_in.shape[0]
-        L = (packed_in.shape[1] - 8) // 2
-        bases = packed_in[:, :L]
-        quals = packed_in[:, L:2 * L]
-        lb = packed_in[:, 2 * L:2 * L + 4].astype(jnp.int32)
-        lens = lb[:, 0] | (lb[:, 1] << 8) | (lb[:, 2] << 16) | (lb[:, 3] << 24)
-        read_mask = packed_in[:, 2 * L + 4] != 0
+        bases, quals, lens, read_mask = unpack_on_device(packed_in, L)
         out = inner(bases, quals, lens, read_mask)
 
         zero = jnp.zeros((B,), jnp.int32)
@@ -558,15 +615,15 @@ def make_fast_fn(opt, with_stats=True):
         return out, outbuf
 
     if not with_stats:
-        def fast_nostats(outbuf, slot, packed_in):
-            _, outbuf = core(outbuf, slot, packed_in)
+        def fast_nostats(outbuf, slot, packed_in, L):
+            _, outbuf = core(outbuf, slot, packed_in, L)
             return outbuf
         return fast_nostats, stages
 
     SL = global_stat_len()
 
-    def fast(state, outbuf, slot, packed_in):
-        out, outbuf = core(outbuf, slot, packed_in)
+    def fast(state, outbuf, slot, packed_in, L):
+        out, outbuf = core(outbuf, slot, packed_in, L)
         post = _flat_partial(out["posts"][0], SL)
         for p in out["posts"][1:]:
             post = post + _flat_partial(p, SL)
@@ -579,11 +636,12 @@ def make_fast_fn(opt, with_stats=True):
 
 
 def build_fast_step(opt, with_stats=True):
-    """Single-device jitted fast step (see make_fast_fn for the contract)."""
+    """Single-device jitted fast step (see make_fast_fn for the contract).
+    The trailing L argument is static."""
     fast, stages = make_fast_fn(opt, with_stats)
     if not with_stats:
-        return jax.jit(fast), stages
-    return jax.jit(fast, donate_argnums=0), stages
+        return jax.jit(fast, static_argnums=3), stages
+    return jax.jit(fast, static_argnums=4, donate_argnums=0), stages
 
 
 def out_fields(opt):
@@ -618,6 +676,8 @@ def _freeze(v):
 
 
 _step_cache = {}
+import threading as _threading
+_step_cache_lock = _threading.Lock()
 
 
 def get_fast_step(opt, mesh=None, with_stats=True):
@@ -630,10 +690,11 @@ def get_fast_step(opt, mesh=None, with_stats=True):
     if mesh is not None and not with_stats:
         raise ValueError("the sharded step has no stats-free variant")
     key = (_freeze(kernel_params(opt)), mesh, with_stats, global_stat_len())
-    if key not in _step_cache:
-        if mesh is None:
-            _step_cache[key] = build_fast_step(opt, with_stats)
-        else:
-            from .sharding import build_fast_sharded_step
-            _step_cache[key] = build_fast_sharded_step(opt, mesh)
-    return _step_cache[key]
+    with _step_cache_lock:   # runner prewarm threads race the main thread
+        if key not in _step_cache:
+            if mesh is None:
+                _step_cache[key] = build_fast_step(opt, with_stats)
+            else:
+                from .sharding import build_fast_sharded_step
+                _step_cache[key] = build_fast_sharded_step(opt, mesh)
+        return _step_cache[key]

@@ -55,11 +55,14 @@ class Bucket:
     __slots__ = ("outbuf", "pending")
 
     def __init__(self, L, B, F, placement=None, with_stats=True):
-        outbuf = np.zeros((FETCH_GROUP, B, F), out_dtype(L, with_stats))
+        dt = out_dtype(L, with_stats)
         if placement is None or not with_stats:
-            self.outbuf = jax.device_put(outbuf)
+            # created ON DEVICE: a device_put of host zeros would ship
+            # FETCH_GROUP*B*F real bytes (tens of MB per bucket) h2d
+            self.outbuf = jnp.zeros((FETCH_GROUP, B, F), dt)
         else:
-            self.outbuf = placement.put_outbuf(outbuf)
+            self.outbuf = placement.put_outbuf(
+                np.zeros((FETCH_GROUP, B, F), dt))
         self.pending = []      # batches dispatched, not yet fetched
 
 

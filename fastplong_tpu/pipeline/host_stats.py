@@ -26,6 +26,8 @@ _STAT_KEYS = ("cycle_q20", "cycle_q30", "cycle_content", "cycle_qual",
               "cycle_total_base", "cycle_total_qual", "base_qual_hist",
               "kmer")
 
+_B5_BASES = np.frombuffer(b"ACGTN", np.uint8)
+
 
 class HostStatAccumulator:
     """Accumulates statRead partials for a group of (usually 1-8) reads."""
@@ -115,9 +117,10 @@ class BatchStatAccumulator:
         self.max_seen = 0
         self.used = False
 
-    def add_rows(self, packed, L, lo, hi, mlo, mhi, rowmask):
-        """Accumulate spans of a packed [B, 2L+8] batch; returns the
-        per-row median quality bytes."""
+    def add_rows(self, packed, L, lo, hi, mlo, mhi, rowmask, layout="wide"):
+        """Accumulate spans of a packed batch (wide [B, 2L+8] or base5
+        [B, L+8], pipeline/batches.py); returns the per-row median quality
+        bytes."""
         medians = np.zeros(packed.shape[0], np.uint8)
         if hi is None or not len(hi):
             return medians
@@ -127,15 +130,18 @@ class BatchStatAccumulator:
         if m > self.max_seen:
             self.max_seen = min(m, self.L)
         from ..native import stat_rows
-        if stat_rows(packed, L, lo, hi, mlo, mhi, rowmask,
+        if stat_rows(packed, L, layout == "b5", lo, hi, mlo, mhi, rowmask,
                      self.cyc, self.q20, self.q30, self.hist, self.kmer,
                      medians):
             return medians
-        self._numpy_rows(packed, L, lo, hi, mlo, mhi, rowmask, medians)
+        self._numpy_rows(packed, L, lo, hi, mlo, mhi, rowmask, medians,
+                         layout)
         return medians
 
-    def _numpy_rows(self, packed, L, lo, hi, mlo, mhi, rowmask, medians):
+    def _numpy_rows(self, packed, L, lo, hi, mlo, mhi, rowmask, medians,
+                    layout="wide"):
         """Pure-python fallback (slow; correctness only)."""
+        b5 = layout == "b5"
         for i in range(packed.shape[0]):
             if rowmask is not None and not rowmask[i]:
                 continue
@@ -143,8 +149,15 @@ class BatchStatAccumulator:
             e = min(int(hi[i]), L)
             if e <= s:
                 continue
-            b = packed[i, :L]
-            q = packed[i, L:2 * L]
+            if b5:
+                v = packed[i, :L]
+                q5 = v // 5
+                pad = v == 255
+                b = np.where(pad, 0, _B5_BASES[v - q5 * 5])
+                q = np.where(pad, 0, q5 + 33).astype(np.uint8)
+            else:
+                b = packed[i, :L]
+                q = packed[i, L:2 * L]
             if mlo is not None:
                 seq = masked_span(b, s, e, mlo[i], mhi[i])
             else:

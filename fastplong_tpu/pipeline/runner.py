@@ -111,6 +111,12 @@ class SingleEndRunner:
     MAX_IN_FLIGHT = 3
     FLUSH_BLOCKS = int(_os.environ.get("FASTPLONG_FLUSH_BLOCKS", 160))
     MAX_BLOCKS_PENDING = int(_os.environ.get("FASTPLONG_MAX_BLOCKS", 192))
+    # kick the first combined fetch once this many batches are pending:
+    # the first d2h of a process pays a large one-time penalty on tunneled
+    # links, so starting it in the background while dispatch continues
+    # hides it (the d2h-channel warm-up below starts even earlier); it
+    # also spreads emit+write over the run instead of a serial tail
+    EARLY_FETCH_BATCHES = int(_os.environ.get("FASTPLONG_EARLY_FETCH", 6))
 
     def __init__(self, opt, mesh=None):
         self.opt = opt
@@ -184,6 +190,71 @@ class SingleEndRunner:
         self.out_writer = None
         self.failed_writer = None
         self.timer = StageTimer()
+        # transfer accounting (bench.py publishes these so regressions can
+        # be separated from link weather): bytes moved each way + the
+        # first-call wall per bucket shape (executable load time)
+        self.bytes_h2d = 0
+        self.bytes_d2h = 0
+        self.load_seconds = {}
+        # executable prewarm: the first call per bucket shape costs
+        # seconds through a tunneled interconnect (compile-cache load +
+        # device program load), and loads are ~3x faster when issued
+        # concurrently — so a thread pool warms each bucket's step on
+        # throwaway device-resident buffers as soon as the bucket is
+        # first seen, overlapping the loads with parsing and each other.
+        # A tiny d2h fired at start warms the reverse channel so the
+        # first real drain doesn't pay the one-time first-d2h penalty.
+        self._warm_pool = None
+        self._warmed = set()
+        if (_os.environ.get("FASTPLONG_PREWARM", "1") == "1"
+                and self.placement is None):
+            try:
+                plat = jax.devices()[0].platform
+            except Exception:
+                plat = "cpu"
+            if plat != "cpu":
+                self._warm_pool = ThreadPoolExecutor(max_workers=6)
+                self._warm_pool.submit(self._warm_d2h)
+
+    def _warm_d2h(self):
+        try:
+            z = jax.device_put(np.zeros(64, np.uint8))
+            jax.block_until_ready(z)
+            np.asarray(z)
+        except Exception:
+            pass
+
+    def _prewarm_bucket(self, L):
+        """Load (compile-cache hit) the step executable for bucket L by
+        running it once on device-resident zeros; runs on a warm-pool
+        thread, concurrent with other loads and with host parsing."""
+        try:
+            import jax.numpy as jnp
+            from .batches import batch_rows
+            from .device import init_stats_state, global_stat_len, out_dtype
+            from ..common import FETCH_GROUP
+            t0 = time.perf_counter()
+            monster = L > self.stat_cap
+            nostats = monster or self.host_stats_mode
+            B = batch_rows(L)
+            outbuf = jnp.zeros((FETCH_GROUP, B, self.n_fields),
+                               out_dtype(L, not nostats))
+            packed = jnp.zeros((B, L + 8), jnp.uint8)
+            if nostats:
+                r = self._get_nostats_step()(outbuf, np.int32(0), packed, L)
+            else:
+                state = init_stats_state(global_stat_len())
+                r = self.step(state, outbuf, np.int32(0), packed, L)
+            jax.block_until_ready(r)
+            self.load_seconds[L] = round(time.perf_counter() - t0, 3)
+        except Exception:
+            pass
+
+    def _get_nostats_step(self):
+        if self._nostats_step is None:
+            self._nostats_step = get_fast_step(
+                self.opt, with_stats=False)[0]
+        return self._nostats_step
 
     # ------------------------------------------------------------------ run
 
@@ -221,6 +292,7 @@ class SingleEndRunner:
         self._builders = {}
         self._block_queue = []   # [block, BlockResults, outstanding_reads]
         self._in_flight = []     # (batches_of_group, future of [K,B,F])
+        self._pending_batches = 0
         self._max_in_flight = self.MAX_IN_FLIGHT
         self._flush_blocks = self.FLUSH_BLOCKS
         self._max_blocks_pending = self.MAX_BLOCKS_PENDING
@@ -260,6 +332,10 @@ class SingleEndRunner:
             self._block_queue.append(
                 [block, BlockResults(block.n, self.cap), block.n])
             for L, take in bucket_groups(block):
+                if L not in self._warmed:
+                    self._warmed.add(L)
+                    if self._warm_pool is not None:
+                        self._warm_pool.submit(self._prewarm_bucket, L)
                 # monster buckets bypass the mesh (single-device stats-free
                 # step), so they don't need shard-divisible row counts
                 b = self._builders.setdefault(
@@ -308,6 +384,8 @@ class SingleEndRunner:
             self._drain_one()
         assert not self._block_queue, "incomplete blocks at EOF"
         self._fetcher.shutdown()
+        if self._warm_pool is not None:
+            self._warm_pool.shutdown(wait=False)
         reader.close()
         timer.add("total_loop", time.perf_counter() - t_run0, processed)
 
@@ -356,21 +434,21 @@ class SingleEndRunner:
         bs = self.device_stats.bucket(batch.L, batch.packed.shape[0],
                                       self.n_fields, with_stats=not nostats)
         slot = np.int32(len(bs.pending))
+        self.bytes_h2d += batch.packed.nbytes
         if nostats:
             # stats-free device step: monster buckets (stats per-read on
             # host) and host-statistics mode (stats per-batch below);
             # monster batches also bypass the mesh — 1-few rows would
             # waste N-1 shards
-            if self._nostats_step is None:
-                self._nostats_step = get_fast_step(
-                    self.opt, with_stats=False)[0]
             xin = jax.numpy.asarray(batch.packed)
-            bs.outbuf = self._nostats_step(bs.outbuf, slot, xin)
+            bs.outbuf = self._get_nostats_step()(bs.outbuf, slot, xin,
+                                                 batch.L)
         else:
             xin = (self.placement.put_input(batch.packed) if self.placement
                    else jax.numpy.asarray(batch.packed))
             state = self.device_stats.ensure_state()
-            state, bs.outbuf = self.step(state, bs.outbuf, slot, xin)
+            state, bs.outbuf = self.step(state, bs.outbuf, slot, xin,
+                                         batch.L)
             self.device_stats.state = state
             self.device_stats.note_batch(batch.L, int(batch.lens.max()))
         if self.host_stats_mode and not monster:
@@ -381,16 +459,20 @@ class SingleEndRunner:
             batch.pre_medians = self._batch_pre.add_rows(
                 batch.packed, batch.L, None,
                 batch.lens.astype(np.int64), None, None,
-                batch.read_mask)
+                batch.read_mask, batch.layout)
             self.timer.add("host_stats", time.perf_counter() - ts)
         else:
             batch.packed = None  # release the host-side feed buffer
         bs.pending.append(batch)
+        self._pending_batches += 1
         self.timer.add("dispatch", time.perf_counter() - t0)
         if len(bs.pending) >= FETCH_GROUP:
             # a full ring forces a drain; take every bucket's pending
             # batches along in the same single transfer (fetch count is
             # the scarce resource, not bytes)
+            self._flush_pending_groups()
+        elif (not self._in_flight
+              and self._pending_batches >= self.EARLY_FETCH_BATCHES):
             self._flush_pending_groups()
         while len(self._in_flight) > self._max_in_flight:
             self._drain_one()
@@ -405,6 +487,7 @@ class SingleEndRunner:
         single flat array, split again on the host.  The end-of-input
         drain (final=True) rides the statistics state along in the same
         transfer."""
+        t_flush0 = time.perf_counter()
         groups = []
         parts = []
 
@@ -453,6 +536,7 @@ class SingleEndRunner:
             add_part("stats", ds.trimmed_state())
             ds.state = None
             ds.stat_batches = 0
+        self._pending_batches = 0
         if not groups:
             return
         if len(parts) == 1:
@@ -460,8 +544,10 @@ class SingleEndRunner:
         else:
             import jax.numpy as jnp
             combined = jnp.concatenate(parts)
+        self.bytes_d2h += int(combined.size)
         self._in_flight.append(
             (groups, self._fetcher.submit(_fetch_np, combined)))
+        self.timer.add("flush", time.perf_counter() - t_flush0)
 
     def _drain_one(self):
         groups, fut = self._in_flight.pop(0)
@@ -535,7 +621,7 @@ class SingleEndRunner:
                 out.out_hi[:, c].astype(np.int64),
                 out.mask_lo[:, c].astype(np.int64) if mask_on else None,
                 out.mask_hi[:, c].astype(np.int64) if mask_on else None,
-                pass_c)
+                pass_c, batch.layout)
             out.post_median[:, c] = np.where(pass_c, med,
                                              out.post_median[:, c])
         batch.packed = None

@@ -44,8 +44,10 @@ def build_fast_sharded_step(opt, mesh, axis="data"):
     """The production fast step over a device mesh.
 
     Same contract as device.build_fast_step — (state, outbuf, slot,
-    packed_in) -> (state', outbuf') — but data-parallel over the read axis:
-      * packed_in [B, 2L+8]  sharded over rows (B/n per device)
+    packed_in, L) -> (state', outbuf'), trailing L static — but
+    data-parallel over the read axis:
+      * packed_in [B, L+8] (base5) or [B, 2L+8] (wide)
+                             sharded over rows (B/n per device)
       * outbuf  [K, B, F]    sharded over dim 1 (each device writes its rows)
       * state                leaves carry a leading [n_dev] axis; every
                              device accumulates a private partial (the
@@ -58,8 +60,15 @@ def build_fast_sharded_step(opt, mesh, axis="data"):
     dp = P(axis)
     in_specs = (dp, P(None, axis), P(), dp)
     out_specs = (dp, P(None, axis))
-    fn = _shard_map(fast, mesh, in_specs, out_specs)
-    return jax.jit(fn, donate_argnums=0), stages
+
+    def step(state, outbuf, slot, packed_in, L):
+        # L is consumed before shard_map (static under the outer jit)
+        fn = _shard_map(
+            lambda s, o, sl, p: fast(s, o, sl, p, L),
+            mesh, in_specs, out_specs)
+        return fn(state, outbuf, slot, packed_in)
+
+    return jax.jit(step, static_argnums=4, donate_argnums=0), stages
 
 
 @functools.lru_cache(maxsize=None)

@@ -182,6 +182,50 @@ def test_children_get_scaling_suppressed_and_warm_flag(bench, monkeypatch,
     assert "error" not in j
 
 
+def test_headline_median_reported(bench, monkeypatch, capsys):
+    monkeypatch.setenv("FASTPLONG_BENCH_PROFILES", "headline,gz")
+    monkeypatch.setenv("FASTPLONG_BENCH_HEADLINE_RUNS", "3")
+    monkeypatch.setattr(bench, "_probe_device", lambda *a, **k: True)
+    monkeypatch.setattr(subprocess, "run",
+                        _fake_run_factory([5.0, 9.0, 6.0], {}))
+    bench.main()
+    j = _last_json_line(capsys)
+    assert j["value"] == 9.0             # best-of-N stays the headline
+    assert j["headline_median"] == 6.0   # ...median alongside it
+
+
+def test_scaling_child_env(bench, monkeypatch, capsys):
+    """The scaling profile must run on a virtual CPU mesh (weather-free),
+    with the 1/2/4/8 device list and a bounded input."""
+    monkeypatch.setenv("FASTPLONG_BENCH_PROFILES", "plain,scaling")
+    monkeypatch.setattr(bench, "_probe_device", lambda *a, **k: True)
+    seen = {}
+
+    def spy_run(cmd, env=None, cwd=None, capture_output=True, timeout=None):
+        prof = env["FASTPLONG_BENCH_PROFILES"]
+        if prof == "scaling":
+            seen["platforms"] = env.get("JAX_PLATFORMS")
+            seen["devices"] = env.get("FASTPLONG_BENCH_DEVICES")
+            seen["xla"] = env.get("XLA_FLAGS", "")
+            part = {"scaling": {"1": {"bases_per_second": 1.0,
+                                      "efficiency": 1.0}}}
+        else:
+            part = {"warm_run_bases_per_second": 2.0}
+        r = types.SimpleNamespace()
+        r.returncode = 0
+        r.stdout = json.dumps(part).encode() + b"\n"
+        r.stderr = b""
+        return r
+
+    monkeypatch.setattr(subprocess, "run", spy_run)
+    bench.main()
+    j = _last_json_line(capsys)
+    assert seen["platforms"] == "cpu"
+    assert seen["devices"] == "1,2,4,8"
+    assert "host_platform_device_count" in seen["xla"]
+    assert j["scaling"]["1"]["bases_per_second"] == 1.0
+
+
 def test_all_children_dead_still_prints_value(bench, monkeypatch, capsys):
     monkeypatch.setenv("FASTPLONG_BENCH_PROFILES", "plain,headline")
     monkeypatch.setattr(bench, "_probe_device", lambda *a, **k: True)

@@ -178,6 +178,107 @@ def test_pack_batch_fuzz():
         assert not out[:row_offset].any()
 
 
+def test_pack_batch_b5_fuzz():
+    """Native base5 pack == numpy-decoded roundtrip; invalid alphabet
+    bytes return False without corrupting completed rows' semantics."""
+    rng = np.random.default_rng(23)
+    b5bases = np.frombuffer(b"ACGTN", np.uint8)
+    for trial in range(100):
+        n_rec = int(rng.integers(1, 10))
+        dirty = trial % 4 == 0
+        blobs, seq_off, seq_len, qual_off = [], [], [], []
+        pos = 0
+        for _ in range(n_rec):
+            sl = int(rng.integers(0, 40))
+            if dirty:
+                seq = rng.integers(65, 91, size=sl).astype(np.uint8)
+                qual = rng.integers(33, 120, size=sl).astype(np.uint8)
+            else:
+                seq = rng.choice(b5bases, size=sl)
+                qual = rng.integers(33, 84, size=sl).astype(np.uint8)
+            seq_off.append(pos)
+            seq_len.append(sl)
+            blobs.append(seq)
+            pos += sl
+            qual_off.append(pos)
+            blobs.append(qual)
+            pos += sl
+        buf = np.concatenate(blobs).tobytes() if blobs else b""
+        src = np.frombuffer(buf, np.uint8)
+        L = int(rng.integers(1, 48))
+        take = rng.integers(0, n_rec, size=int(rng.integers(1, 8)))
+        row_offset = int(rng.integers(0, 3))
+        out = np.zeros((len(take) + row_offset, L + 8), np.uint8)
+        ok = native.pack_batch_b5_into(
+            out, row_offset, buf, np.array(seq_off, np.int64),
+            np.array(seq_len, np.int64), np.array(qual_off, np.int64),
+            np.asarray(take, np.int64), L)
+        # oracle: valid iff every in-range byte is ACGTN / qual 33..83
+        valid = True
+        for i in take:
+            sl = min(seq_len[i], L)
+            s = src[seq_off[i]:seq_off[i] + sl]
+            q = src[qual_off[i]:qual_off[i] + sl]
+            if not (np.isin(s, b5bases).all()
+                    and ((q >= 33) & (q <= 83)).all()):
+                valid = False
+                break
+        assert ok == valid
+        if not ok:
+            continue
+        for k, i in enumerate(take):
+            row = out[row_offset + k]
+            sl = min(seq_len[i], L)
+            v = row[:sl]
+            q5 = v // 5
+            assert np.array_equal(b5bases[v - q5 * 5],
+                                  src[seq_off[i]:seq_off[i] + sl])
+            assert np.array_equal(q5 + 33,
+                                  src[qual_off[i]:qual_off[i] + sl])
+            assert (row[sl:L] == 255).all()
+            assert int(np.frombuffer(row[L:L + 4], "<u4")[0]) == sl
+            assert row[L + 4] == 1
+        assert not out[:row_offset].any()
+
+
+def test_stat_rows_b5_matches_wide():
+    """fpl_stat_rows over a base5 batch == over the equivalent wide batch."""
+    rng = np.random.default_rng(29)
+    b5bases = np.frombuffer(b"ACGTN", np.uint8)
+    for trial in range(30):
+        L = int(rng.integers(1, 40))
+        nrows = int(rng.integers(1, 8))
+        Lacc = int(rng.integers(1, 2 * L))
+        bases = rng.choice(b5bases, size=(nrows, L))
+        quals = rng.integers(33, 84, size=(nrows, L)).astype(np.uint8)
+        wide = np.zeros((nrows, 2 * L + 8), np.uint8)
+        wide[:, :L] = bases
+        wide[:, L:2 * L] = quals
+        b5 = np.zeros((nrows, L + 8), np.uint8)
+        code = np.zeros(256, np.uint8)
+        for c, v in zip(b"ACGTN", range(5)):
+            code[c] = v
+        b5[:, :L] = code[bases] + 5 * (quals - 33)
+        lo = rng.integers(0, L, size=nrows).astype(np.int64)
+        hi = rng.integers(0, L + 1, size=nrows).astype(np.int64)
+        mlo = rng.integers(0, L, size=nrows).astype(np.int64)
+        mhi = rng.integers(0, L + 1, size=nrows).astype(np.int64)
+        accs = []
+        for packed, is_b5 in ((wide, False), (b5, True)):
+            cyc = np.zeros(Lacc * 18, np.int64)
+            q20 = np.zeros(8, np.int64)
+            q30 = np.zeros(8, np.int64)
+            hist = np.zeros(128, np.int64)
+            kmer = np.zeros(1024, np.int64)
+            medians = np.zeros(nrows, np.uint8)
+            assert native.stat_rows(packed, L, is_b5, lo, hi, mlo, mhi,
+                                    None, cyc, q20, q30, hist, kmer,
+                                    medians)
+            accs.append((cyc, q20, q30, hist, kmer, medians))
+        for a, b in zip(*accs):
+            assert np.array_equal(a, b)
+
+
 # ------------------------------------------------------------------- emit
 
 def test_emit_pieces2_fuzz():
@@ -346,7 +447,7 @@ def test_stat_rows_fuzz():
         kmer = np.zeros(1024, np.int64)
         medians = np.zeros(nrows, np.uint8)
         assert native.stat_rows(
-            packed, L, lo if use_lo else None, hi,
+            packed, L, False, lo if use_lo else None, hi,
             mlo if use_m else None, mhi if use_m else None,
             rowmask if use_rm else None,
             cyc, q20, q30, hist, kmer, medians)
