@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from .myers import (build_pattern_table, build_pattern_masks,
-                    myers_distance, myers_distance_unrolled, BLOCK)
+                    myers_distance, myers_distance_unrolled,
+                    myers_distance_blockscan, BLOCK, MAX_DEVICE_PATTERN)
 from .primitives import first_true, last_true
 
 WINDOW = 200
@@ -40,7 +41,21 @@ def _cpp_round(x: float) -> int:
 
 
 class AdapterSpec:
-    """Host-precomputed constants for one adapter sequence."""
+    """Host-precomputed constants for one adapter sequence.
+
+    Long-adapter policy (verified against the reference at 640/704bp by
+    tests/test_golden_long_adapters.py):
+      * the start/end trim verifies compare at most min(alen, WINDOW)
+        pattern bytes — the full-match search is structurally empty for
+        alen >= WINDOW (searchAdapter's ranges collapse,
+        adaptertrimmer.cpp:80-110), and the partial path's cmplen is
+        bounded by the window — so their bitmask tables are capped at
+        WINDOW and never unroll more than ceil(WINDOW/32) blocks;
+      * only the middle-adapter global search needs full-length edit
+        distance; it uses the unrolled kernel up to MAX_DEVICE_PATTERN
+        and the compile-bounded block-scan kernel beyond (the reference's
+        DP-fallback boundary, editdistance.cpp:88-124).
+    """
 
     def __init__(self, seq: str, ed_max: float):
         self.seq = seq
@@ -50,8 +65,17 @@ class AdapterSpec:
         self.ed_max = ed_max
         self.thr_full = _cpp_round(ed_max * self.alen)
         self.thr_seed = _cpp_round(ed_max * self.plen)
-        self.pm_fwd, self.K = build_pattern_masks(self.data)
-        self.pm_rev, _ = build_pattern_masks(self.data[::-1])
+        self.verify_cap = min(self.alen, WINDOW)
+        self.pm_fwd, self.K = build_pattern_masks(self.data[:self.verify_cap])
+        self.pm_rev, _ = build_pattern_masks(
+            self.data[::-1][:self.verify_cap])
+        # full-length tables, only consumed by the middle-adapter search
+        if self.alen <= MAX_DEVICE_PATTERN:
+            self.pm_full, self.K_full = build_pattern_masks(self.data)
+            self.pm_full_tbl = None
+        else:
+            self.pm_full, self.K_full = None, (self.alen + BLOCK - 1) // BLOCK
+            self.pm_full_tbl = build_pattern_table(self.data)
         # thresholds for every possible cmplen (plen..alen), python ints
         self.thr_list = [_cpp_round(ed_max * c) for c in range(self.alen + 1)]
         self.adapter_arr = jnp.asarray(
@@ -101,18 +125,24 @@ def _mismatch_full(bases, data: bytes):
     return mm
 
 
-def _verify_at(bases, abs_start, spec, cmplen=None, reverse=False):
+def _verify_at(bases, abs_start, spec, cmplen=None, reverse=False,
+               full=False):
     """Myers distance of the window starting (or ending) at abs_start.
 
     forward: text = bases[abs_start : abs_start+n], pattern = adapter[:n]
     reverse: text = reversed bases[abs_start-n+1 ... abs_start],
              pattern = reversed(adapter)[:n]  (== adapter suffix of len n)
     n = cmplen (per-lane) or alen.
+
+    full=False (trim-stage verifies): pattern tables capped at
+    min(alen, WINDOW) — cmplen never exceeds the window there.
+    full=True (middle-adapter search): full-length pattern; unrolled
+    kernel up to MAX_DEVICE_PATTERN, block-scan beyond.
     """
     B, L = bases.shape
     alen = spec.alen
     n = cmplen if cmplen is not None else jnp.full((B,), alen, jnp.int32)
-    T = max(alen, 1)
+    T = max(alen if full else spec.verify_cap, 1)
     j = jnp.arange(T, dtype=jnp.int32)[None, :]
     if reverse:
         src = abs_start[:, None] - j
@@ -121,6 +151,12 @@ def _verify_at(bases, abs_start, spec, cmplen=None, reverse=False):
     ok = (j < n[:, None]) & (src >= 0) & (src < L)
     text = jnp.where(ok, jnp.take_along_axis(
         bases, jnp.clip(src, 0, L - 1), axis=-1), 0)
+    if full:
+        assert not reverse
+        if spec.pm_full is not None:
+            return myers_distance_unrolled(spec.pm_full, spec.K_full,
+                                           n, text, n)
+        return myers_distance_blockscan(spec.pm_full_tbl, n, text, n)
     pm = spec.pm_rev if reverse else spec.pm_fwd
     return myers_distance_unrolled(pm, spec.K, n, text, n)
 
@@ -256,16 +292,23 @@ def trim_by_sequence_start(bases, lo, hi, spec, ext, mm=None):
     if mm is None:
         mm = _mismatch_full(bases, spec.data)
 
-    search_end = jnp.minimum(rlen, WINDOW)
-    # searchAdapter(.., 0, WINDOW, false, true): rightmost policy needs
-    # searchEnd > alen; also searchStart + alen > rlen -> -1
-    valid_search = (alen <= rlen) & (search_end > alen)
-    pos_f, needs_v = search_full(
-        mm, rlen, alen, spec.thr_full,
-        lo, lo + search_end - alen + 1, "right")
-    pos_f = jnp.where(valid_search & (pos_f >= 0), pos_f - lo, -1)
-    ed_f = _verify_at(bases, lo + jnp.maximum(pos_f, 0), spec)
-    ok_f = (pos_f >= 0) & jnp.where(needs_v, ed_f <= spec.thr_full, True)
+    if alen < WINDOW:
+        search_end = jnp.minimum(rlen, WINDOW)
+        # searchAdapter(.., 0, WINDOW, false, true): rightmost policy needs
+        # searchEnd > alen; also searchStart + alen > rlen -> -1
+        valid_search = (alen <= rlen) & (search_end > alen)
+        pos_f, needs_v = search_full(
+            mm, rlen, alen, spec.thr_full,
+            lo, lo + search_end - alen + 1, "right")
+        pos_f = jnp.where(valid_search & (pos_f >= 0), pos_f - lo, -1)
+        ed_f = _verify_at(bases, lo + jnp.maximum(pos_f, 0), spec)
+        ok_f = (pos_f >= 0) & jnp.where(needs_v, ed_f <= spec.thr_full, True)
+    else:
+        # alen >= WINDOW: the reference's full-match ranges are empty —
+        # searchEnd = min(rlen, WINDOW) <= alen fails both the rightmost
+        # gate and the global loop bound (adaptertrimmer.cpp:80-110)
+        pos_f = jnp.full((B,), -1, jnp.int32)
+        ok_f = jnp.zeros((B,), bool)
 
     # ---- partial 16-mer path
     ncand = jnp.clip(jnp.minimum(rlen - plen, WINDOW - plen), 0, None)
@@ -312,18 +355,25 @@ def trim_by_sequence_end(bases, lo, hi, spec, ext, mm=None):
 
     # ---- full match: leftmost in [searchStart, rlen-alen) over the last
     # WINDOW bases; raw-coordinate mismatch scan, range offset by lo
-    search_start = jnp.maximum(rlen - WINDOW, 0)
     if mm is None:
         mm = _mismatch_full(bases, spec.data)
-    valid_search = (search_start + alen) <= rlen
-    pos_f, needs_v = search_full(
-        mm, rlen, alen, spec.thr_full,
-        lo + search_start, lo + rlen - alen, "left")
-    pos_f = jnp.where(valid_search & (pos_f >= 0), pos_f - lo - search_start,
-                      -1)
-    abs_f = search_start + pos_f  # position within the span
-    ed_f = _verify_at(bases, lo + jnp.maximum(abs_f, 0), spec)
-    ok_f = (pos_f >= 0) & jnp.where(needs_v, ed_f <= spec.thr_full, True)
+    if alen < WINDOW:
+        search_start = jnp.maximum(rlen - WINDOW, 0)
+        valid_search = (search_start + alen) <= rlen
+        pos_f, needs_v = search_full(
+            mm, rlen, alen, spec.thr_full,
+            lo + search_start, lo + rlen - alen, "left")
+        pos_f = jnp.where(valid_search & (pos_f >= 0),
+                          pos_f - lo - search_start, -1)
+        abs_f = search_start + pos_f  # position within the span
+        ed_f = _verify_at(bases, lo + jnp.maximum(abs_f, 0), spec)
+        ok_f = (pos_f >= 0) & jnp.where(needs_v, ed_f <= spec.thr_full, True)
+    else:
+        # alen >= WINDOW: rlen - alen <= max(rlen - WINDOW, 0) makes the
+        # leftmost loop empty for every rlen (adaptertrimmer.cpp:86-95)
+        pos_f = jnp.full((B,), -1, jnp.int32)
+        abs_f = pos_f
+        ok_f = jnp.zeros((B,), bool)
 
     # ---- partial: sequential-break scan (adaptertrimmer.cpp:269-286)
     ncand = jnp.clip(jnp.minimum(rlen - plen, WINDOW - plen), 0, None)
@@ -383,7 +433,7 @@ def search_global(bases, lo, hi, spec, mm=None):
     pos, needs_v = search_full(
         mm, rlen, alen, spec.thr_full, lo, lo + rlen - alen, "global")
     pos = jnp.where(valid & (pos >= 0), pos - lo, -1)
-    ed = _verify_at(bases, lo + jnp.maximum(pos, 0), spec)
+    ed = _verify_at(bases, lo + jnp.maximum(pos, 0), spec, full=True)
     ok = (pos >= 0) & (ed <= spec.thr_full)
     return jnp.where(ok, pos, -1)
 

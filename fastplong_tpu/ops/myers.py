@@ -25,7 +25,17 @@ import jax
 import jax.numpy as jnp
 
 BLOCK = 32
-MAX_DEVICE_PATTERN = 128  # 4 blocks; longer adapters use the host fallback
+# Device-pattern policy, mirroring the reference's algorithm boundary
+# (editdistance.cpp:88-124: specialized Myers blocks up to 10x64 = 640bp,
+# DP fallback beyond).  Patterns up to MAX_DEVICE_PATTERN use the unrolled
+# select-chain kernel (myers_distance_unrolled, compile size O(K)); longer
+# patterns use the block-scan kernel (myers_distance_blockscan, compile
+# size O(1), runtime O(T*K)) — the TPU-native replacement for the
+# reference's quadratic DP fallback.  Both compute exact Levenshtein
+# distance; ops/adapter._verify_at picks per adapter length, and
+# edit_distance_host below is the independent test oracle
+# (tests/test_adapter.py, tests/test_golden_long_adapters.py).
+MAX_DEVICE_PATTERN = 640
 
 
 def build_pattern_table(pattern: bytes):
@@ -220,9 +230,96 @@ def myers_distance_unrolled(masks, K, plen, text, tlen, T=None):
     return jnp.where(plen > 0, D, tlen)
 
 
+def myers_distance_blockscan(pm_tbl, plen, text, tlen):
+    """Batched Myers distance for patterns BEYOND MAX_DEVICE_PATTERN.
+
+    Same results as myers_distance_unrolled, but the per-column block
+    recurrence runs as a lax.scan over the K uint32 blocks, so the
+    compiled program size is constant in the pattern length — a 5kbp
+    FASTA adapter must not unroll 160 blocks into the jit graph.  The
+    pattern table is a device gather ([256, K]); acceptable because this
+    kernel only ever runs for rare oversized adapters.
+
+    pm_tbl: [256, K] uint32 from build_pattern_table (numpy or device).
+    plen/tlen: [...] per-lane lengths; text: [..., T] uint8.
+    """
+    pm_tbl = jnp.asarray(pm_tbl)
+    K = pm_tbl.shape[1]
+    T = text.shape[-1]
+    shape = text.shape[:-1]
+    plen = jnp.maximum(plen.astype(jnp.int32), 0)
+    tlen = tlen.astype(jnp.int32)
+
+    r_idx = jnp.arange(K, dtype=jnp.int32)
+    bits = jnp.clip(plen[..., None] - r_idx * BLOCK, 0, BLOCK)
+    full = jnp.uint32(0xFFFFFFFF)
+    safe = jnp.clip(bits, 0, BLOCK - 1).astype(jnp.uint32)
+    VP0 = jnp.where(bits >= BLOCK, full,
+                    (jnp.uint32(1) << safe) - jnp.uint32(1))   # [..., K]
+    VN0 = jnp.zeros(shape + (K,), jnp.uint32)
+    D0_init = jnp.where(plen > 0, plen, 0).astype(jnp.int32)
+
+    top_block = jnp.clip((plen - 1) // BLOCK, 0, K - 1)
+    top_bit = jnp.where(plen > 0, (plen - 1) % BLOCK, 0).astype(jnp.uint32)
+    one = jnp.uint32(1)
+    zero32 = jnp.uint32(0)
+    lmb = jnp.uint32(1) << jnp.uint32(BLOCK - 1)
+
+    def col_step(carry, xs):
+        col, j = xs
+        D, VP, VN = carry
+        active = j < tlen
+        pm = pm_tbl[col.astype(jnp.int32)]          # [..., K]
+
+        def block_step(bc, xs_r):
+            hn_carry, hp_carry = bc
+            X, vp, vn = xs_r                        # [...] per block
+            X = jnp.where(hn_carry, X | one, X)
+            D0 = (((X & vp) + vp) ^ vp) | X | vn
+            HP = vn | ~(D0 | vp)
+            HN = D0 & vp
+            X2 = HP << one
+            X2 = jnp.where(hp_carry, X2 | one, X2)
+            vp_new = (HN << one) | ~(D0 | X2)
+            vp_new = jnp.where(hn_carry, vp_new | one, vp_new)
+            vn_new = D0 & X2
+            hn_next = (HN & lmb) != zero32
+            hp_next = (HP & lmb) != zero32
+            return (hn_next, hp_next), (vp_new, vn_new, HP, HN)
+
+        init = (jnp.zeros(shape, bool), jnp.ones(shape, bool))
+        xs_r = (jnp.moveaxis(pm, -1, 0), jnp.moveaxis(VP, -1, 0),
+                jnp.moveaxis(VN, -1, 0))
+        _, (vp_new, vn_new, HPs, HNs) = jax.lax.scan(block_step, init, xs_r)
+        vp_new = jnp.moveaxis(vp_new, 0, -1)
+        vn_new = jnp.moveaxis(vn_new, 0, -1)
+        HPs = jnp.moveaxis(HPs, 0, -1)
+        HNs = jnp.moveaxis(HNs, 0, -1)
+        VP = jnp.where(active[..., None], vp_new, VP)
+        VN = jnp.where(active[..., None], vn_new, VN)
+        hp_top = jnp.take_along_axis(HPs, top_block[..., None],
+                                     axis=-1)[..., 0]
+        hn_top = jnp.take_along_axis(HNs, top_block[..., None],
+                                     axis=-1)[..., 0]
+        inc = jnp.where(((hp_top >> top_bit) & one) != zero32, 1,
+                        jnp.where(((hn_top >> top_bit) & one) != zero32,
+                                  -1, 0))
+        D = jnp.where(active & (plen > 0), D + inc, D)
+        return (D, VP, VN), None
+
+    text_t = jnp.moveaxis(text, -1, 0)
+    (D, _, _), _ = jax.lax.scan(
+        col_step, (D0_init, VP0, VN0),
+        (text_t, jnp.arange(T, dtype=jnp.int32)))
+    return jnp.where(plen > 0, D, tlen)
+
+
 def edit_distance_host(a: bytes, b: bytes) -> int:
-    """Host fallback DP for very long patterns (reference
-    editdistance.cpp:66-76 path for >640bp)."""
+    """Host DP oracle (the reference's >640bp fallback algorithm,
+    editdistance.cpp:66-76).  Not in the pipeline: the device covers all
+    pattern lengths (unrolled kernel to MAX_DEVICE_PATTERN, block-scan
+    beyond); this is the independent cross-check the kernel tests and the
+    long-adapter goldens compare against."""
     la, lb = len(a), len(b)
     if la == 0:
         return lb

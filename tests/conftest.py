@@ -31,6 +31,20 @@ def pytest_configure(config):
         "markers", "slow: long-running test (multi-process jax etc.)")
 
 
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite: the default invocation (`pytest -q`) runs the fast
+    tier (<5 min on the dev host); slow-marked tests (monster reads,
+    640bp+ adapter goldens, multi-process jax) run with FASTPLONG_SLOW=1
+    or an explicit `-m slow`.  See README 'Tests'."""
+    if config.getoption("-m") or os.environ.get("FASTPLONG_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier: FASTPLONG_SLOW=1 or -m slow to run")
+    for it in items:
+        if "slow" in it.keywords:
+            it.add_marker(skip)
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _release_compiled_steps():
     """Drop compiled-executable references between test modules.

@@ -197,3 +197,45 @@ def test_middle_random():
             assert found[i], f"read {i}: not found, expected {exp}; seq={s}"
             assert (start[i], length[i]) == exp, (
                 f"read {i}: ({start[i]},{length[i]}) != {exp}; seq={s}")
+
+
+def test_myers_blockscan_matches_unrolled_and_host_dp():
+    """The >MAX_DEVICE_PATTERN kernel (block-scan Myers) == the unrolled
+    kernel == the host DP oracle, across the 640bp policy boundary."""
+    from fastplong_tpu.ops.myers import (
+        build_pattern_masks, build_pattern_table, myers_distance_unrolled,
+        myers_distance_blockscan, edit_distance_host, MAX_DEVICE_PATTERN)
+    rng = np.random.default_rng(640)
+    for plen_max in (33, 257, MAX_DEVICE_PATTERN, MAX_DEVICE_PATTERN + 64):
+        pat = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                               size=plen_max))
+        masks, K = build_pattern_masks(pat)
+        tbl = build_pattern_table(pat)
+        B, T = 6, plen_max + 20
+        texts = np.zeros((B, T), np.uint8)
+        tlens = np.zeros(B, np.int32)
+        plens = np.zeros(B, np.int32)
+        for i in range(B):
+            # mutated copies of random pattern prefixes, plus pure noise
+            pl = int(rng.integers(1, plen_max + 1))
+            plens[i] = pl
+            if i % 2 == 0:
+                t = bytearray(pat[:pl])
+                for _ in range(int(rng.integers(0, pl // 4 + 1))):
+                    t[int(rng.integers(0, len(t)))] = rng.choice(
+                        np.frombuffer(b"ACGT", np.uint8))
+            else:
+                t = bytearray(rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                                         size=int(rng.integers(1, T))))
+            tlens[i] = len(t)
+            texts[i, :len(t)] = np.frombuffer(bytes(t), np.uint8)
+        un = np.asarray(myers_distance_unrolled(
+            masks, K, jnp.asarray(plens), jnp.asarray(texts),
+            jnp.asarray(tlens)))
+        bs = np.asarray(myers_distance_blockscan(
+            tbl, jnp.asarray(plens), jnp.asarray(texts), jnp.asarray(tlens)))
+        assert np.array_equal(un, bs), (plen_max, un, bs)
+        for i in range(B):
+            want = edit_distance_host(pat[:plens[i]],
+                                      bytes(texts[i, :tlens[i]]))
+            assert un[i] == want, (plen_max, i, un[i], want)

@@ -58,6 +58,7 @@ def test_monster_path_low_cap(tmp_path, monkeypatch):
     assert_parity(fq, str(tmp_path), FULL)
 
 
+@pytest.mark.slow
 def test_monster_2mbp_read(tmp_path):
     # the VERDICT bar: a multi-Mbp read passes without OOM, byte parity
     # incl. JSON curves; default 64Kbp device cap routes it to the host
