@@ -682,13 +682,8 @@ _step_cache_lock = _threading.Lock()
 
 def get_fast_step(opt, mesh=None, with_stats=True):
     """Cached build_fast_step (or its sharded variant when mesh is given).
-
-    The sharded variant always carries stats (the runner routes stats-free
-    work — monster batches, host-stats mode — through the single-device
-    step), so mesh + with_stats=False is rejected rather than silently
-    returning a step with the wrong signature."""
-    if mesh is not None and not with_stats:
-        raise ValueError("the sharded step has no stats-free variant")
+    with_stats=False is the stats-free variant (monster batches, host-
+    statistics mode) — no state carry; available for both paths."""
     key = (_freeze(kernel_params(opt)), mesh, with_stats, global_stat_len())
     with _step_cache_lock:   # runner prewarm threads race the main thread
         if key not in _step_cache:
@@ -696,5 +691,6 @@ def get_fast_step(opt, mesh=None, with_stats=True):
                 _step_cache[key] = build_fast_step(opt, with_stats)
             else:
                 from .sharding import build_fast_sharded_step
-                _step_cache[key] = build_fast_sharded_step(opt, mesh)
+                _step_cache[key] = build_fast_sharded_step(
+                    opt, mesh, with_stats=with_stats)
         return _step_cache[key]

@@ -86,8 +86,12 @@ def _mask_spans(lo, hi, m_lo, m_hi, masked):
     return a, fill, b
 
 
-def emit_block_fast(block, res, cap, mask_on, write_out, write_failed):
-    """Returns (out_bytes, failed_bytes) for one completed RecordBlock.
+def emit_block_fast(block, res, cap, mask_on, write_out, write_failed,
+                    return_read_lens=False):
+    """Returns (out_bytes, failed_bytes) for one completed RecordBlock —
+    or (out_bytes, failed_bytes, read_lens) with return_read_lens, where
+    read_lens[i] is record i's byte length within out_bytes (split mode
+    slices the buffer at pack boundaries, pipeline/split.py).
 
     Mirrors the reference's emission semantics: passed out-reads are written
     with composed name tags ('@' + 'rN-' + split-tag + rest,
@@ -145,6 +149,7 @@ def emit_block_fast(block, res, cap, mask_on, write_out, write_failed):
     aux = _AUX_STATIC + b"".join(aux_dyn)
 
     out_bytes = b""
+    read_lens = (np.zeros(block.n, np.int64) if return_read_lens else None)
     if out_sel is not None and out_sel.any():
         ii, cc = np.nonzero(out_sel)
         lo = res.out_lo[ii, cc].astype(np.int64)
@@ -210,6 +215,10 @@ def emit_block_fast(block, res, cap, mask_on, write_out, write_failed):
             nl_l,
         ], axis=1)
         out_bytes = _emit_pieces(block.arr, aux, offs, lens)
+        if return_read_lens:
+            # np.nonzero is row-major, so rows are grouped by record in
+            # input order — per-record byte lengths are a segment sum
+            np.add.at(read_lens, ii, lens.sum(axis=1))
 
     failed_bytes = b""
     if fail_sel is not None and fail_sel.any():
@@ -258,4 +267,6 @@ def emit_block_fast(block, res, cap, mask_on, write_out, write_failed):
         ], axis=1)
         failed_bytes = _emit_pieces(block.arr, aux, offs, lens)
 
+    if return_read_lens:
+        return out_bytes, failed_bytes, read_lens
     return out_bytes, failed_bytes

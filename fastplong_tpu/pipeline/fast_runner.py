@@ -50,13 +50,21 @@ class PackedResults:
 class Bucket:
     """Per-bucket device residue: the output ring buffer and the list of
     batches awaiting fetch.  (Stat accumulators are GLOBAL — one shared
-    [2, F] state across buckets, see DeviceStats.)"""
+    [2, F] state across buckets, see DeviceStats.)
 
-    __slots__ = ("outbuf", "pending")
+    `sharded` records whether the ring is mesh-sharded over its row axis
+    (mesh mode, non-monster buckets) — monster buckets stay single-device
+    even under a mesh, and the drain trims their rows accordingly."""
 
-    def __init__(self, L, B, F, placement=None, with_stats=True):
+    __slots__ = ("outbuf", "pending", "sharded")
+
+    def __init__(self, L, B, F, placement=None, with_stats=True,
+                 sharded=None):
         dt = out_dtype(L, with_stats)
-        if placement is None or not with_stats:
+        if sharded is None:
+            sharded = placement is not None and with_stats
+        self.sharded = sharded
+        if not sharded:
             # created ON DEVICE: a device_put of host zeros would ship
             # FETCH_GROUP*B*F real bytes (tens of MB per bucket) h2d
             self.outbuf = jnp.zeros((FETCH_GROUP, B, F), dt)
@@ -86,10 +94,10 @@ class DeviceStats:
         self.max_seen = 0      # longest device-statted read (trims drains)
         self.drained = {"pre": [], "post": []}  # list of numpy dicts
 
-    def bucket(self, L, B, F, with_stats=True):
+    def bucket(self, L, B, F, with_stats=True, sharded=None):
         b = self.buckets.get(L)
         if b is None:
-            b = Bucket(L, B, F, self.placement, with_stats)
+            b = Bucket(L, B, F, self.placement, with_stats, sharded)
             self.buckets[L] = b
         return b
 

@@ -147,7 +147,7 @@ class SingleEndRunner:
         # original bytes — reference analog: dynamically-grown per-cycle
         # buffers, stats.cpp:75-119)
         self.stat_cap = stat_device_cap()
-        self._nostats_step = None
+        self._nostats_step = {}
         from .host_stats import HostStatAccumulator
         self._host_pre = HostStatAccumulator()
         self._host_post = HostStatAccumulator()
@@ -171,13 +171,6 @@ class SingleEndRunner:
             except Exception:
                 ver = ""
             backend = "host" if "axon" in ver else "device"
-        if backend == "host" and self.mesh is not None:
-            if getattr(opt, "stats_backend", "auto") == "host":
-                # only warn for an EXPLICIT request; auto resolves quietly
-                sys.stderr.write(
-                    "WARNING: --stats_backend host is single-device only; "
-                    "using device statistics for the --devices mesh run\n")
-            backend = "device"
         self.host_stats_mode = backend == "host"
         if self.host_stats_mode:
             from .host_stats import BatchStatAccumulator
@@ -250,11 +243,14 @@ class SingleEndRunner:
         except Exception:
             pass
 
-    def _get_nostats_step(self):
-        if self._nostats_step is None:
-            self._nostats_step = get_fast_step(
-                self.opt, with_stats=False)[0]
-        return self._nostats_step
+    def _get_nostats_step(self, mesh=None):
+        """Stats-free step; mesh=None is the single-device variant used
+        by monster batches even in mesh mode."""
+        key = mesh is not None
+        if self._nostats_step.get(key) is None:
+            self._nostats_step[key] = get_fast_step(
+                self.opt, mesh=mesh, with_stats=False)[0]
+        return self._nostats_step[key]
 
     # ------------------------------------------------------------------ run
 
@@ -431,8 +427,10 @@ class SingleEndRunner:
         t0 = time.perf_counter()
         monster = batch.L > self.stat_cap
         nostats = monster or self.host_stats_mode
+        sharded = self.placement is not None and not monster
         bs = self.device_stats.bucket(batch.L, batch.packed.shape[0],
-                                      self.n_fields, with_stats=not nostats)
+                                      self.n_fields, with_stats=not nostats,
+                                      sharded=sharded)
         slot = np.int32(len(bs.pending))
         self.bytes_h2d += batch.packed.nbytes
         if nostats:
@@ -440,9 +438,13 @@ class SingleEndRunner:
             # host) and host-statistics mode (stats per-batch below);
             # monster batches also bypass the mesh — 1-few rows would
             # waste N-1 shards
-            xin = jax.numpy.asarray(batch.packed)
-            bs.outbuf = self._get_nostats_step()(bs.outbuf, slot, xin,
-                                                 batch.L)
+            if sharded:
+                xin = self.placement.put_input(batch.packed)
+                step = self._get_nostats_step(self.mesh)
+            else:
+                xin = jax.numpy.asarray(batch.packed)
+                step = self._get_nostats_step()
+            bs.outbuf = step(bs.outbuf, slot, xin, batch.L)
         else:
             xin = (self.placement.put_input(batch.packed) if self.placement
                    else jax.numpy.asarray(batch.packed))
@@ -506,17 +508,20 @@ class SingleEndRunner:
             n = len(pending)
             buf = bs.outbuf
             B = buf.shape[1]
-            if self.placement is not None:
-                # mesh mode: the ring may be sharded over the row axis —
-                # row-trimming would force a reshard, so drain whole slots
-                add_part(pending, buf if n >= FETCH_GROUP else buf[:n])
-                continue
             # a partially-filled batch (end of input, watermark kick) uses
             # only a prefix of its slot's B rows; transfer just that prefix
             # — drained bytes are the scarce resource on this interconnect.
             # Full slots stay grouped so the drain stays a few device ops.
-            used = [min(B, sum(len(s.indices) for s in b.segments))
-                    for b in pending]
+            # Sharded rings (mesh mode) are trimmed too: the slice pays one
+            # reshard over ICI, far cheaper than the padding rows' d2h.
+            used = []
+            for b in pending:
+                ends = [s.row_start + len(s.indices) for s in b.segments]
+                total = sum(len(s.indices) for s in b.segments)
+                # BatchBuilder fills rows as a contiguous prefix from row
+                # 0; _consume_batch's trim relies on it (ADVICE r2)
+                assert max(ends) == total, "batch rows are not a prefix"
+                used.append(min(B, total))
             i = 0
             while i < n:
                 if used[i] >= B:
@@ -718,11 +723,22 @@ class SingleEndRunner:
                     self.filter_result.add_adapter_trimmed(rec_seq, cnt)
 
     def _emit(self, block, res):
-        if self.split_set is None and not _EMIT_FALLBACK:
+        if not _EMIT_FALLBACK:
             # vectorized piece-table path (pipeline/emit.py); the per-read
-            # loop below remains for split mode, which needs per-read
-            # writer rotation (threadconfig.cpp:88-108)
+            # loop below remains only as the FASTPLONG_EMIT_FALLBACK=1
+            # debugging oracle
             from .emit import emit_block_fast
+            if self.split_set is not None:
+                # split mode: writer rotation advances only at 16-read
+                # pack boundaries (threadconfig.cpp:88-108), so the block
+                # buffer is sliced per pack using per-record byte lengths
+                out_b, _fb, read_lens = emit_block_fast(
+                    block, res, self.cap, self.mask_enabled,
+                    True, False, return_read_lens=True)
+                read_passed = (res.active & res.passed
+                               & ~res.null[:, None]).any(axis=1)
+                self.split_set.add_block(out_b, read_lens, read_passed)
+                return
             out_b, failed_b = emit_block_fast(
                 block, res, self.cap, self.mask_enabled,
                 self.out_writer is not None, self.failed_writer is not None)

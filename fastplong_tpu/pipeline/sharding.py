@@ -40,7 +40,7 @@ def _shard_map(fn, mesh, in_specs, out_specs):
                          out_specs=out_specs, check_rep=False)
 
 
-def build_fast_sharded_step(opt, mesh, axis="data"):
+def build_fast_sharded_step(opt, mesh, axis="data", with_stats=True):
     """The production fast step over a device mesh.
 
     Same contract as device.build_fast_step — (state, outbuf, slot,
@@ -55,9 +55,24 @@ def build_fast_sharded_step(opt, mesh, axis="data"):
       * slot                 replicated scalar
     No collectives run in the hot path — reads are independent; the only
     cross-device reduction is the host-side sum at stat-drain time.
-    """
-    fast, stages = make_fast_fn(opt)
+
+    with_stats=False is the host-statistics-mode variant: no state carry,
+    (outbuf, slot, packed_in, L) -> outbuf' (statRead runs on the host
+    per shard-local batch, pipeline/host_stats.py)."""
+    fast, stages = make_fast_fn(opt, with_stats)
     dp = P(axis)
+
+    if not with_stats:
+        in_specs_ns = (P(None, axis), P(), dp)
+
+        def step_ns(outbuf, slot, packed_in, L):
+            fn = _shard_map(
+                lambda o, sl, p: fast(o, sl, p, L),
+                mesh, in_specs_ns, P(None, axis))
+            return fn(outbuf, slot, packed_in)
+
+        return jax.jit(step_ns, static_argnums=3), stages
+
     in_specs = (dp, P(None, axis), P(), dp)
     out_specs = (dp, P(None, axis))
 

@@ -64,6 +64,28 @@ class SplitWriterSet:
         if self.pack_reads == self.PACK_SIZE:
             self._flush_pack()
 
+    def add_block(self, out_bytes, read_lens, read_passed):
+        """Vectorized per-block entry: out_bytes is the whole block's
+        emitted output (pipeline/emit.emit_block_fast) and read_lens[i]
+        its per-record byte length, so pack rotation only needs buffer
+        slices at 16-read boundaries — no per-read python loop.  Partial
+        packs carry across blocks exactly like add_read."""
+        import numpy as np
+        cum = np.concatenate(([0], np.cumsum(read_lens)))
+        n = len(read_lens)
+        i = 0
+        while i < n:
+            take = min(self.PACK_SIZE - self.pack_reads, n - i)
+            nb = int(cum[i + take] - cum[i])
+            if nb:
+                self.pack_pieces.append(out_bytes[int(cum[i]):
+                                                  int(cum[i]) + nb])
+            self.pack_reads += take
+            self.pack_passed += int(np.sum(read_passed[i:i + take]))
+            i += take
+            if self.pack_reads == self.PACK_SIZE:
+                self._flush_pack()
+
     def _flush_pack(self):
         if self.pack_reads == 0:
             return

@@ -139,3 +139,35 @@ def test_mesh_pipeline_break_mask_parity(tmp_path):
     strip = lambda s: re.sub(r'"command": ".*"', '', s)
     assert (strip((tmp_path / "r_d1.json").read_text())
             == strip((tmp_path / "r_d8.json").read_text()))
+
+
+def test_mesh_host_stats_backend_parity(tmp_path):
+    """--stats_backend host under --devices (first-class mesh mode, r2
+    VERDICT #3): the sharded stats-free step + per-shard host statRead
+    must write byte-identical outputs and JSON to the single-device
+    device-stats run."""
+    import re
+    from fastplong_tpu.main import main
+
+    in_fq = str(tmp_path / "in.fq")
+    _write_input(in_fq, n=300, seed=17)
+
+    def run(devices, backend, tag):
+        argv = ["fastplong", "-i", in_fq,
+                "-o", str(tmp_path / ("out_%s.fq" % tag)),
+                "--failed_out", str(tmp_path / ("failed_%s.fq" % tag)),
+                "-j", str(tmp_path / ("r_%s.json" % tag)),
+                "-h", str(tmp_path / ("r_%s.html" % tag)),
+                "-s", "AATGTACTTCGTTCAGTTACGTATTGCT", "-5", "-3", "-x",
+                "--stats_backend", backend, "--devices", str(devices)]
+        main(argv)
+
+    run(1, "device", "d1dev")
+    run(8, "host", "d8host")
+    for name in ("out", "failed"):
+        a = (tmp_path / ("%s_d1dev.fq" % name)).read_bytes()
+        b = (tmp_path / ("%s_d8host.fq" % name)).read_bytes()
+        assert a == b, "%s.fq differs: 1-dev device-stats vs 8-dev host-stats" % name
+    strip = lambda s: re.sub(r'"command": ".*"', '', s)
+    assert (strip((tmp_path / "r_d1dev.json").read_text())
+            == strip((tmp_path / "r_d8host.json").read_text()))
