@@ -223,7 +223,12 @@ class Evaluator:
         start side: pos in [0, min(len-10-shiftTail, 127)], posacc += pos
         end side:   pos in [max(0, len-10-shiftTail-128), len-10-shiftTail],
                     posacc += len - pos          (evaluator.cpp:179-234)
+
+        The histogram fill is a device kernel (ops/kmer.py: rolling-key
+        scatter-add, SURVEY #20 disposition); numpy fallback below is
+        bit-identical and covers pathological position ranges.
         """
+        import os
         n = len(seqs)
         win = 128 + KEYLEN  # chars needed for 128 window positions
         mat = np.zeros((n, win + 1), np.uint8)  # +1 for inclusive end range
@@ -243,6 +248,16 @@ class Evaluator:
             sp = base_pos[i]
             chunk = s[sp:sp + npos[i] + KEYLEN - 1]
             mat[i, :len(chunk)] = np.frombuffer(chunk, np.uint8)
+
+        if os.environ.get("FASTPLONG_KMER_DEVICE", "1") == "1":
+            try:
+                from .ops.kmer import kmer_histogram_device
+                got = kmer_histogram_device(mat, npos, base_pos, lens,
+                                            end_side)
+            except Exception:
+                got = None
+            if got is not None:
+                return got
 
         codes = _CODE[mat].astype(np.int64)  # [n, win+1]
         W = int(npos.max()) if n else 0

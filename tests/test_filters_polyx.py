@@ -166,3 +166,31 @@ def test_polyx_on_spans():
         b = int(RNG.integers(a, len(s) + 1))
         spans.append((a, b))
     check_polyx(reads, spans=spans)
+
+
+def test_kmer_device_histogram_matches_numpy():
+    """Device rolling-key scatter-add (ops/kmer.py) == the numpy oracle in
+    evaluator._kmer_histogram, both sides, including invalid bases."""
+    import os
+    import numpy as np
+    from fastplong_tpu.config import Options
+    from fastplong_tpu.evaluator import Evaluator
+    rng = np.random.default_rng(12)
+    seqs = []
+    for _ in range(80):
+        n = int(rng.integers(5, 400))
+        s = bytes(rng.choice(np.frombuffer(b"ACGTNA", np.uint8), size=n))
+        seqs.append(s)
+    lens = np.array([len(s) for s in seqs], np.int64)
+    ev = Evaluator(Options())
+    for end_side in (False, True):
+        os.environ["FASTPLONG_KMER_DEVICE"] = "1"
+        c1, p1, t1 = ev._kmer_histogram(seqs, lens, 1, end_side)
+        os.environ["FASTPLONG_KMER_DEVICE"] = "0"
+        c0, p0, t0 = ev._kmer_histogram(seqs, lens, 1, end_side)
+        os.environ.pop("FASTPLONG_KMER_DEVICE")
+        assert t1 == t0
+        assert np.array_equal(np.asarray(c1, np.int64),
+                              np.asarray(c0, np.int64))
+        assert np.array_equal(np.asarray(p1, np.uint64),
+                              np.asarray(p0, np.uint64))
