@@ -335,6 +335,19 @@ def main():
         result["device_step_bases_per_second"] = round(device_rate, 1)
         result["device_step_vs_baseline"] = round(
             device_rate / BASELINE_BASES_PER_S, 4)
+        # HBM roofline for the fused step (tools/device_roofline.py):
+        # each base is touched as 2 input bytes (decoded bases+quals in
+        # VMEM-resident fusions) plus one uint8 mismatch array write+read
+        # per distinct adapter (the one intermediate XLA materializes —
+        # it has 3 consumers).  Ratio ~1 = the step is HBM-bound.
+        hbm_bw = 8.1e11  # v5e ~810 GB/s
+        n_adapters = 2  # -s and -e in the bench config
+        bytes_per_base = 2 + 2 * n_adapters
+        roofline = hbm_bw / bytes_per_base
+        result["device_step_hbm_roofline_bases_per_second"] = round(
+            roofline, 1)
+        result["device_step_vs_hbm_roofline"] = round(
+            device_rate / roofline, 4)
         # h2d + full fast step per batch, no fetches: the dispatch-phase
         # capability (what end-to-end approaches when d2h is healthy)
         h2d_rate = _h2d_step_rate(opt)

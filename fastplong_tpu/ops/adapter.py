@@ -106,11 +106,17 @@ def _region(bases, start_abs, R, valid_len):
 def _mismatch_full(bases, data: bytes):
     """mm[b, p] = #(bases[b, p+i] != adapter[i], i<alen) at EVERY raw
     position p in [0, L).  Windows running past L compare against zero
-    padding (callers mask by range).
+    padding (callers mask by range).  Returned dtype is uint8 when the
+    count fits (alen <= 255) — the array is shared by several consumers,
+    so XLA materializes it once and the narrow dtype quarters that HBM
+    round trip (search_full widens in-register).
 
-    On TPU a Pallas kernel streams each tile through VMEM once; the jnp
-    fallback is `alen` shifted compares (python-int constants, so tracing
-    stays cheap and the compiled code is pure VPU adds)."""
+    The default is the jnp shifted-compare form: measured on v5e it beats
+    the VMEM-tiled Pallas kernel 4x standalone (0.096 vs 0.414 ms on
+    [1024, 8192] x 28bp) and ~10% on the full fused step — XLA's fusion
+    of 28 uint8 compare-adds is already at the HBM roofline, and the
+    Pallas version forces a tile materialization XLA avoids.  The kernel
+    is kept behind FASTPLONG_PALLAS=1 (ops/pallas_kernels.py)."""
     from .pallas_kernels import use_pallas, mismatch_scan
     if use_pallas():
         mm = mismatch_scan(bases, data)
@@ -119,6 +125,11 @@ def _mismatch_full(bases, data: bytes):
     B, L = bases.shape
     alen = len(data)
     padded = jnp.pad(bases, ((0, 0), (0, alen)))
+    if alen <= 255:
+        mm = jnp.zeros((B, L), jnp.uint8)
+        for i, ch in enumerate(data):
+            mm = mm + (padded[:, i:i + L] != ch).astype(jnp.uint8)
+        return mm
     mm = jnp.zeros((B, L), jnp.int32)
     for i, ch in enumerate(data):
         mm = mm + (padded[:, i:i + L] != ch)
@@ -244,6 +255,7 @@ def search_full(mm, rlen, alen, thr, lo_rel, hi_rel_excl, policy):
     skip it, matching adaptertrimmer.cpp:99-101).
     """
     B, P = mm.shape
+    mm = mm.astype(jnp.int32)  # may arrive uint8 (_mismatch_full)
     p = jnp.arange(P, dtype=jnp.int32)[None, :]
     in_range = (p >= lo_rel[:, None]) & (p < hi_rel_excl[:, None])
     mm_m = jnp.where(in_range, mm, 10 ** 6)

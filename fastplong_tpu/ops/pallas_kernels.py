@@ -26,11 +26,16 @@ MAX_PALLAS_ALEN = 256  # <= TILE_L so one lookahead tile suffices
 
 
 def use_pallas():
+    """Default OFF as of round 3: measured on v5e, the XLA jnp
+    shifted-compare form of the mismatch scan beats this kernel 4x
+    standalone and ~10% on the full fused step (tools/device_roofline.py)
+    — XLA already runs that chain at the HBM roofline with uint8
+    accumulators and avoids the tile materialization pallas_call forces.
+    FASTPLONG_PALLAS=1 re-enables for future hardware where the balance
+    differs."""
     flag = os.environ.get("FASTPLONG_PALLAS", "auto")
-    if flag == "0":
+    if flag != "1":
         return False
-    if flag == "1":
-        return True
     try:
         plat = jax.default_backend()
     except Exception:
