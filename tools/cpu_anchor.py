@@ -5,10 +5,12 @@ Runs the reference binary at -w 3 and -w 16 over the bench input for each
 of the five BASELINE.json configs and writes bases/s to BASELINE_CPU.json
 (bench.py folds the numbers into its report when the file exists).
 
-Caveat recorded in the output: the binary is the golden-test shim build
-(tests/golden/build_reference.sh) — scalar stand-ins for the Highway SIMD
-and isa-l inflate paths, since those libraries aren't installable in this
-environment.  Shim vs SIMD mainly affects the adapter-scan inner loop.
+Build provenance recorded in the output: by default the binary is the
+SIMD shim build (tests/golden/build_reference.sh SIMD=1 — 16-lane GCC
+vector extensions + -march=native for the Highway paths; isa-l inflate
+still backed by zlib since libisal isn't installable here).  Outputs are
+bit-identical to the scalar shim build; only speed differs.  Set
+FASTPLONG_REF_BIN to anchor against a different build.
 """
 
 import json
@@ -22,7 +24,8 @@ REPO = os.path.dirname(HERE)
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
-REF_BIN = os.environ.get("FASTPLONG_REF_BIN", "/tmp/fastplong_ref/fastplong")
+REF_BIN = os.environ.get("FASTPLONG_REF_BIN",
+                         "/tmp/fastplong_ref_simd/fastplong")
 
 START = "AATGTACTTCGTTCAGTTACGTATTGCT"
 END = "AGCAATACGTAACTGAACGAAGT"
@@ -47,10 +50,16 @@ def main():
     total = count_bases(in_fq)
 
     if not os.path.exists(REF_BIN):
-        from golden_util import ensure_reference  # builds the shim binary
-        ensure_reference()
+        script = os.path.join(REPO, "tests", "golden", "build_reference.sh")
+        env = dict(os.environ)
+        if "ref_simd" in REF_BIN:
+            env["SIMD"] = "1"
+        subprocess.run(["bash", script], check=True, env=env, timeout=600)
 
-    results = {"binary": "shim build (scalar hwy/isa-l stand-ins)",
+    results = {"binary": ("SIMD shim build (16-lane GCC vector ext hwy, "
+                          "-march=native; zlib-backed isa-l)"
+                          if "ref_simd" in REF_BIN else
+                          "shim build (scalar hwy/isa-l stand-ins)"),
                "input_bases": total, "configs": {}}
     for name, args in CONFIGS.items():
         results["configs"][name] = {}
