@@ -46,14 +46,15 @@ TOKENS_PER_BATCH = int(_os.environ.get("FASTPLONG_TOKENS_PER_BATCH", 1 << 23))
 MAX_BATCH_READS = int(_os.environ.get("FASTPLONG_MAX_BATCH_READS", 4096))
 
 # Per-read result rows are tiny ([B, ~19] int32) but every device->host
-# fetch pays a large fixed latency through the interconnect (hundreds of
-# ms, multiple SECONDS in degraded phases — the tunnel's d2h performance
-# is weather-dependent).  The step therefore writes each batch's packed
-# output into a device-side ring buffer of FETCH_GROUP batches per
-# bucket, and the runner drains ALL buckets' pending rings as ONE
-# concatenated transfer, cadenced by held-block memory — so a run costs
-# a handful of d2h round trips total, not one per batch.
-FETCH_GROUP = int(_os.environ.get("FASTPLONG_FETCH_GROUP", 192))
+# fetch pays a fixed latency through the interconnect (tens of ms, worse
+# in degraded phases — the tunnel's d2h performance is weather-dependent).
+# The step therefore writes each batch's packed output into a device-side
+# ring buffer of FETCH_GROUP batches per bucket, and the runner drains
+# every bucket's pending slots per flush with power-of-2-quantized slices
+# (a SMALL FIXED set of array shapes: on tunneled links each new shape's
+# slice executable costs an 0.5-2s program load, so shape stability beats
+# exact-size transfers).
+FETCH_GROUP = int(_os.environ.get("FASTPLONG_FETCH_GROUP", 16))
 
 
 def stat_device_cap():

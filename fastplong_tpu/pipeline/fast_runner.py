@@ -118,10 +118,17 @@ class DeviceStats:
     def trimmed_state(self):
         """The [.., 2, F'] state with the cycle block cut at the longest
         read seen — cycles beyond it are provably zero, and drained BYTES
-        are the scarce resource.  One cheap device op when trimming."""
+        are the scarce resource.  The cut is quantized to a power of two
+        so the trim/fetch executables come from a small persistent-cached
+        shape set (each NEW shape costs a program load on tunneled
+        links)."""
         st = self.state
         SL = (st.shape[-1] - _FLAT_EXTRA) // _FLAT_PER_L
         m = max(1, min(SL, self.max_seen))
+        q = 1
+        while q < m:
+            q *= 2
+        m = min(q, SL)
         if m >= SL:
             return st
         import jax.numpy as jnp

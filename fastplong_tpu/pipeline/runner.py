@@ -191,12 +191,15 @@ class SingleEndRunner:
         self.load_seconds = {}
         # executable prewarm: the first call per bucket shape costs
         # seconds through a tunneled interconnect (compile-cache load +
-        # device program load), and loads are ~3x faster when issued
-        # concurrently — so a thread pool warms each bucket's step on
-        # throwaway device-resident buffers as soon as the bucket is
-        # first seen, overlapping the loads with parsing and each other.
-        # A tiny d2h fired at start warms the reverse channel so the
-        # first real drain doesn't pay the one-time first-d2h penalty.
+        # device program load), so a thread pool warms each bucket's step
+        # on throwaway device-resident buffers as soon as the bucket is
+        # first seen — the dominant bucket's load still blocks its own
+        # first dispatch, but every other bucket's load hides behind it.
+        # NOTE deliberately NO eager d2h warm-up: measured on the tunnel,
+        # a d2h at t=0 degrades the process's transfer mode before the
+        # program loads run (15s vs 3s for the first load), while the
+        # early first fetch (EARLY_FETCH_BATCHES) already absorbs the
+        # first-d2h penalty in the background fetcher thread.
         self._warm_pool = None
         self._warmed = set()
         if (_os.environ.get("FASTPLONG_PREWARM", "1") == "1"
@@ -207,15 +210,6 @@ class SingleEndRunner:
                 plat = "cpu"
             if plat != "cpu":
                 self._warm_pool = ThreadPoolExecutor(max_workers=6)
-                self._warm_pool.submit(self._warm_d2h)
-
-    def _warm_d2h(self):
-        try:
-            z = jax.device_put(np.zeros(64, np.uint8))
-            jax.block_until_ready(z)
-            np.asarray(z)
-        except Exception:
-            pass
 
     def _prewarm_bucket(self, L):
         """Load (compile-cache hit) the step executable for bucket L by
@@ -480,26 +474,26 @@ class SingleEndRunner:
             self._drain_one()
 
     def _flush_pending_groups(self, final=False):
-        """Flush every bucket's pending batches as ONE combined transfer.
+        """Flush every bucket's pending batches as one drain EVENT.
 
-        Each d2h through this interconnect pays a large, weather-dependent
-        fixed latency (seconds in degraded phases), so every drain — ring
-        full, too many blocks held, end of input — concatenates all
-        buckets' partial groups device-side (cheap copies) and fetches a
-        single flat array, split again on the host.  The end-of-input
-        drain (final=True) rides the statistics state along in the same
-        transfer."""
+        Each part is a ring slice quantized to power-of-2 slot and row
+        counts: exact-size slices would mint a new slice executable per
+        distinct (slots, rows) pair — each costing a 0.5-2s program load
+        through a tunneled interconnect — while quantization keeps the
+        shape set tiny and persistent-cache-stable at <= 2x the optimal
+        bytes.  The fetcher thread then pulls the parts back-to-back (no
+        device-side concatenation: that too would compile per shape
+        combination).  The end-of-input drain (final=True) rides the
+        statistics state along as one more part."""
         t_flush0 = time.perf_counter()
-        groups = []
-        parts = []
+        groups = []   # (tag, device_array) pairs, fetched in order
+        nbytes = 0
 
-        def add_part(tag, buf):
-            # rings may be uint16 (stats-free buckets) while the stat state
-            # is int32: the combined transfer is raw BYTES, re-viewed per
-            # group on the host
-            groups.append((tag, buf.shape, buf.dtype.name))
-            parts.append(jax.lax.bitcast_convert_type(
-                buf.reshape(-1), jax.numpy.uint8).reshape(-1))
+        def q2(v, cap):
+            p = 1
+            while p < v:
+                p *= 2
+            return min(p, cap)
 
         for bs in self.device_stats.buckets.values():
             if not bs.pending:
@@ -507,69 +501,56 @@ class SingleEndRunner:
             pending, bs.pending = bs.pending, []
             n = len(pending)
             buf = bs.outbuf
-            B = buf.shape[1]
-            # a partially-filled batch (end of input, watermark kick) uses
-            # only a prefix of its slot's B rows; transfer just that prefix
-            # — drained bytes are the scarce resource on this interconnect.
-            # Full slots stay grouped so the drain stays a few device ops.
-            # Sharded rings (mesh mode) are trimmed too: the slice pays one
-            # reshard over ICI, far cheaper than the padding rows' d2h.
-            used = []
+            K, B = buf.shape[0], buf.shape[1]
+            used = 0
             for b in pending:
                 ends = [s.row_start + len(s.indices) for s in b.segments]
                 total = sum(len(s.indices) for s in b.segments)
                 # BatchBuilder fills rows as a contiguous prefix from row
                 # 0; _consume_batch's trim relies on it (ADVICE r2)
                 assert max(ends) == total, "batch rows are not a prefix"
-                used.append(min(B, total))
-            i = 0
-            while i < n:
-                if used[i] >= B:
-                    j = i
-                    while j < n and used[j] >= B:
-                        j += 1
-                    add_part(pending[i:j],
-                             buf if (i == 0 and j >= FETCH_GROUP)
-                             else buf[i:j])
-                    i = j
-                else:
-                    add_part(pending[i:i + 1], buf[i:i + 1, :used[i]])
-                    i += 1
+                used = max(used, min(B, total))
+            kq = q2(n, K)
+            uq = B if any(
+                min(B, sum(len(s.indices) for s in b.segments)) >= B
+                for b in pending) else q2(used, B)
+            part = buf if (kq >= K and uq >= B) else buf[:kq, :uq]
+            groups.append((pending, part))
+            nbytes += kq * uq * buf.shape[2] * buf.dtype.itemsize
         ds = self.device_stats
         if (final and ds.placement is None and ds.state is not None
                 and ds.stat_batches):
-            add_part("stats", ds.trimmed_state())
+            st = ds.trimmed_state()
+            groups.append(("stats", st))
+            nbytes += st.size * st.dtype.itemsize
             ds.state = None
             ds.stat_batches = 0
         self._pending_batches = 0
         if not groups:
             return
-        if len(parts) == 1:
-            combined = parts[0]
-        else:
-            import jax.numpy as jnp
-            combined = jnp.concatenate(parts)
-        self.bytes_d2h += int(combined.size)
+        self.bytes_d2h += nbytes
+
+        def fetch_all(parts):
+            return [_fetch_np(p) for p in parts]
+
         self._in_flight.append(
-            (groups, self._fetcher.submit(_fetch_np, combined)))
+            ([g[0] for g in groups],
+             self._fetcher.submit(fetch_all, [g[1] for g in groups])))
         self.timer.add("flush", time.perf_counter() - t_flush0)
 
     def _drain_one(self):
-        groups, fut = self._in_flight.pop(0)
+        tags, fut = self._in_flight.pop(0)
         t0 = time.perf_counter()
-        flat = fut.result()
+        arrs = fut.result()
         self.timer.add("fetch_wait", time.perf_counter() - t0)
         t0 = time.perf_counter()
-        flat = flat.reshape(-1)
-        off = 0
-        for batches, shape, dtype in groups:
-            dt = np.dtype(dtype)
-            nbytes = int(np.prod(shape)) * dt.itemsize
-            group = flat[off:off + nbytes].view(dt).reshape(shape)
-            off += nbytes
+        for batches, group in zip(tags, arrs):
             if batches == "stats":
                 self.device_stats.consume_flat(group.astype(np.int64))
                 continue
+            # the ring slice may carry quantized extra slots/rows beyond
+            # the pending batches — iterate only the real ones; stale rows
+            # within a slot are masked out by each batch's read_mask
             for j, batch in enumerate(batches):
                 self._consume_batch(group[j], batch)
         self.timer.add("accumulate", time.perf_counter() - t0)
