@@ -1,9 +1,17 @@
-"""Host-side read data model.
+"""Host-side read data model — the BEHAVIORAL ORACLE, not the pipeline.
 
 Library-level equivalent of the reference Read/ReadPair/Sequence classes
 (src/read.{h,cpp}, src/sequence.{h,cpp}).  The streaming pipeline operates
-on columnar batches instead, but these objects cover the reference's public
-API surface for programmatic use (and the vestigial paired-end merge).
+on columnar batches and span algebra instead; these objects exist for two
+deliberate purposes:
+  1. the reference's public per-read API surface for programmatic users
+     (exported from the package root), including the vestigial paired-end
+     merge;
+  2. the documented single-read oracle the property tests compare the
+     vectorized span semantics against (break_by_gap / break_by_regions /
+     mask_region_with_n mirror read.cpp line-for-line, so a disagreement
+     localizes a kernel bug to one read).
+Nothing in the hot path imports this module.
 """
 
 from .util import reverse_complement
