@@ -204,18 +204,26 @@ class SingleEndRunner:
         self._warmed = set()
         if (_os.environ.get("FASTPLONG_PREWARM", "1") == "1"
                 and self.placement is None):
-            try:
-                plat = jax.devices()[0].platform
-            except Exception:
-                plat = "cpu"
-            if plat != "cpu":
-                self._warm_pool = ThreadPoolExecutor(max_workers=6)
+            self._warm_pool = ThreadPoolExecutor(max_workers=6)
+            # the platform gate runs ON the pool: jax.devices() triggers
+            # backend init (1.5-4.5s through a tunnel) and must not block
+            # the reader; prewarm tasks wait on it and no-op on CPU
+            self._warm_gate = self._warm_pool.submit(self._platform_ok)
+
+    @staticmethod
+    def _platform_ok():
+        try:
+            return jax.devices()[0].platform != "cpu"
+        except Exception:
+            return False
 
     def _prewarm_bucket(self, L):
         """Load (compile-cache hit) the step executable for bucket L by
         running it once on device-resident zeros; runs on a warm-pool
         thread, concurrent with other loads and with host parsing."""
         try:
+            if not self._warm_gate.result():
+                return
             import jax.numpy as jnp
             from .batches import batch_rows
             from .device import init_stats_state, global_stat_len, out_dtype
