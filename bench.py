@@ -166,7 +166,7 @@ def main():
     os.makedirs(workdir, exist_ok=True)
     profiles = os.environ.get(
         "FASTPLONG_BENCH_PROFILES",
-        "plain,headline,device,gz,short,scaling").split(",")
+        "plain,headline,device,gz,short,split,scaling").split(",")
     # each profile runs in a FRESH subprocess by default: device work in
     # one profile degrades the interconnect for everything after it in the
     # same process (first-d2h poisoning, see README), which would charge
@@ -456,6 +456,17 @@ def main():
         dt_gz, _ = timed_run(in_gz, workdir, "gz")
         result["gz_bases_per_second"] = round(total_bases / dt_gz, 1)
         result["gz_wall_seconds"] = round(dt_gz, 3)
+
+    if "split" in profiles:
+        # BASELINE config 5: break + low-complexity + --split 4 (writer
+        # rotation at 16-read pack boundaries rides the vectorized
+        # piece-table emitter; compare against the non-split headline)
+        extra = ("-b", "-y", "--split", "4")
+        if need_warm and "plain" not in profiles:
+            timed_run(in_fq, workdir, "split_warm", extra=extra)
+        dt_sp, _ = timed_run(in_fq, workdir, "split", extra=extra)
+        result["split_bases_per_second"] = round(total_bases / dt_sp, 1)
+        result["split_wall_seconds"] = round(dt_sp, 3)
 
     if "short" in profiles:
         in_short = os.path.join(workdir, "bench_in_short.fq")
