@@ -56,6 +56,20 @@ for _q in range(33, 84):
     _B5_QMUL[_q] = 5 * (_q - 33)
 
 
+def b5_decode(v):
+    """Decode base5-packed bytes (numpy) -> (bases, quals) uint8 arrays,
+    reproducing the wide-layout bytes EXACTLY (padding 255 -> 0, 0).
+    The single numpy decode shared by every host-side consumer; the jnp
+    twin lives in device.unpack_on_device and the C tables in
+    native/host_io.cpp:fpl_stat_rows."""
+    q5 = v // 5
+    pad = v == 255
+    bases = np.where(pad, 0,
+                     np.frombuffer(b"ACGTN\0\0\0", np.uint8)[v - q5 * 5])
+    quals = np.where(pad, 0, q5 + 33).astype(np.uint8)
+    return bases.astype(np.uint8), quals
+
+
 def bucket_len(n: int) -> int:
     for b in _BUCKETS:
         if n <= b:
@@ -212,12 +226,9 @@ class BatchBuilder:
         self.layout = "wide"
         wide = np.zeros((self.rows, 2 * L + 8), np.uint8)
         if self.count:
-            v = old[:self.count, :L]
-            pad = v == 255
-            q5 = v // 5
-            wide[:self.count, :L] = np.where(
-                pad, 0, np.frombuffer(b"ACGTN\0\0\0", np.uint8)[v - q5 * 5])
-            wide[:self.count, L:2 * L] = np.where(pad, 0, q5 + 33)
+            b, q = b5_decode(old[:self.count, :L])
+            wide[:self.count, :L] = b
+            wide[:self.count, L:2 * L] = q
         wide[:self.rows, 2 * L:] = old[:self.rows, L:]
         self.packed = wide
 

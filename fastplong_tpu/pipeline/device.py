@@ -585,7 +585,13 @@ def make_fast_fn(opt, with_stats=True):
                  | (out["n_out"] << 1)
                  | ((out["poly"] + 1) << 4)
                  | (pre_median << 8))
-        cols += [flags, out["poly_trim"], out["adapter_trimmed"]]
+        # adapter_trimmed can be NEGATIVE (the reference's partial-path
+        # arithmetic underflows for adapters longer than the read,
+        # adaptertrimmer.cpp:229-234); the accounting gate is `> 0`
+        # either way, so clamp BEFORE the ring cast — a negative value
+        # must not wrap to ~65k in a uint16 ring
+        cols += [flags, out["poly_trim"],
+                 jnp.maximum(out["adapter_trimmed"], 0)]
         for c in range(cap):
             post_median = (out["posts"][c]["median"].astype(jnp.int32)
                            if with_stats else zero)

@@ -26,7 +26,6 @@ _STAT_KEYS = ("cycle_q20", "cycle_q30", "cycle_content", "cycle_qual",
               "cycle_total_base", "cycle_total_qual", "base_qual_hist",
               "kmer")
 
-_B5_BASES = np.frombuffer(b"ACGTN", np.uint8)
 
 
 class HostStatAccumulator:
@@ -150,11 +149,8 @@ class BatchStatAccumulator:
             if e <= s:
                 continue
             if b5:
-                v = packed[i, :L]
-                q5 = v // 5
-                pad = v == 255
-                b = np.where(pad, 0, _B5_BASES[v - q5 * 5])
-                q = np.where(pad, 0, q5 + 33).astype(np.uint8)
+                from .batches import b5_decode
+                b, q = b5_decode(packed[i, :L])
             else:
                 b = packed[i, :L]
                 q = packed[i, L:2 * L]

@@ -519,9 +519,14 @@ class SingleEndRunner:
                 assert max(ends) == total, "batch rows are not a prefix"
                 used = max(used, min(B, total))
             kq = q2(n, K)
-            uq = B if any(
-                min(B, sum(len(s.indices) for s in b.segments)) >= B
-                for b in pending) else q2(used, B)
+            if bs.sharded:
+                # mesh ring: quantize rows to whole shards so the slice
+                # keeps the sharding (no reshard collective, no data
+                # movement — slot trimming already cut the bulk)
+                sr = max(1, B // self.placement.n)
+                uq = min(B, ((used + sr - 1) // sr) * sr)
+            else:
+                uq = q2(used, B)
             part = buf if (kq >= K and uq >= B) else buf[:kq, :uq]
             groups.append((pending, part))
             nbytes += kq * uq * buf.shape[2] * buf.dtype.itemsize
