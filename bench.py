@@ -166,7 +166,7 @@ def main():
     os.makedirs(workdir, exist_ok=True)
     profiles = os.environ.get(
         "FASTPLONG_BENCH_PROFILES",
-        "plain,headline,device,gz,short,split,scaling").split(",")
+        "plain,headline,hot,device,gz,short,split,scaling").split(",")
     # each profile runs in a FRESH subprocess by default: device work in
     # one profile degrades the interconnect for everything after it in the
     # same process (first-d2h poisoning, see README), which would charge
@@ -414,6 +414,18 @@ def main():
                 result["cpu_anchor_bases_per_second"] = best
                 result["vs_cpu_anchor"] = round(value / best, 4)
 
+    if "hot" in profiles:
+        # steady-state rate with device programs already loaded: the
+        # first (untimed) pass loads every bucket executable, the second
+        # measures what a resident process (parallel.py in-process batch
+        # mode, a service) sustains — the headline stays the one-shot
+        # CLI cold start including program loads
+        timed_run(in_fq, workdir, "hot_load")
+        dt_hot, runner_hot = timed_run(in_fq, workdir, "hot")
+        result["hot_bases_per_second"] = round(total_bases / dt_hot, 1)
+        result["hot_wall_seconds"] = round(dt_hot, 3)
+        result["hot_stage_seconds"] = runner_hot.timer.report()
+
     if "host" in profiles:
         # forced host-statistics backend (stats-free device step + native
         # host statRead; the default 'auto' already picks this on tunneled
@@ -453,9 +465,10 @@ def main():
         # exception: compile everything untimed first.
         if need_warm and "plain" not in profiles:
             timed_run(in_fq, workdir, "gz_warm")
-        dt_gz, _ = timed_run(in_gz, workdir, "gz")
+        dt_gz, runner_gz = timed_run(in_gz, workdir, "gz")
         result["gz_bases_per_second"] = round(total_bases / dt_gz, 1)
         result["gz_wall_seconds"] = round(dt_gz, 3)
+        result["gz_stage_seconds"] = runner_gz.timer.report()
 
     if "split" in profiles:
         # BASELINE config 5: break + low-complexity + --split 4 (writer
