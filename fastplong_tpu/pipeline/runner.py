@@ -39,12 +39,15 @@ class StageTimer:
     """
 
     def __init__(self):
+        import threading
         self.seconds = {}
         self.counts = {}
+        self._lock = threading.Lock()  # worker threads report too
 
     def add(self, stage, dt, n=1):
-        self.seconds[stage] = self.seconds.get(stage, 0.0) + dt
-        self.counts[stage] = self.counts.get(stage, 0) + n
+        with self._lock:
+            self.seconds[stage] = self.seconds.get(stage, 0.0) + dt
+            self.counts[stage] = self.counts.get(stage, 0) + n
 
     def report(self):
         return {k: round(v, 4) for k, v in sorted(self.seconds.items())}
@@ -180,6 +183,11 @@ class SingleEndRunner:
             SL = global_stat_len()
             self._batch_pre = BatchStatAccumulator(SL)
             self._batch_post = BatchStatAccumulator(SL)
+            # the pre-statRead pass runs on its own worker: it owns
+            # _batch_pre exclusively (post owns _batch_post on the main
+            # thread) and the native call releases the GIL, so the two
+            # passes genuinely overlap; pre_medians become futures
+            self._stats_pool = ThreadPoolExecutor(max_workers=1)
         self.out_writer = None
         self.failed_writer = None
         self.timer = StageTimer()
@@ -407,6 +415,7 @@ class SingleEndRunner:
         if self._host_post.partial() is not None:
             self.post_stats.add_device_partial(self._host_post.partial())
         if self.host_stats_mode:
+            self._stats_pool.shutdown(wait=True)
             p = self._batch_pre.partial()
             if p is not None:
                 self.pre_stats.add_device_partial(p)
@@ -456,15 +465,12 @@ class SingleEndRunner:
             self.device_stats.state = state
             self.device_stats.note_batch(batch.L, int(batch.lens.max()))
         if self.host_stats_mode and not monster:
-            # pre-statRead in one native pass, overlapped with the async
-            # device dispatch above; packed stays alive for the post pass
-            # at drain time
-            ts = time.perf_counter()
-            batch.pre_medians = self._batch_pre.add_rows(
-                batch.packed, batch.L, None,
-                batch.lens.astype(np.int64), None, None,
-                batch.read_mask, batch.layout)
-            self.timer.add("host_stats", time.perf_counter() - ts)
+            # pre-statRead in one native pass on the stats worker,
+            # overlapped with the async device dispatch above AND with
+            # this thread's packing; packed stays alive for the post
+            # pass at drain time
+            batch.pre_medians = self._stats_pool.submit(
+                self._timed_pre_rows, batch)
         else:
             batch.packed = None  # release the host-side feed buffer
         bs.pending.append(batch)
@@ -527,8 +533,10 @@ class SingleEndRunner:
                 uq = min(B, ((used + sr - 1) // sr) * sr)
             else:
                 uq = q2(used, B)
-            part = buf if (kq >= K and uq >= B) else buf[:kq, :uq]
-            groups.append((pending, part))
+            # the slice itself happens on the FETCHER thread: a first-seen
+            # (kq, uq) shape's slice executable costs a program load on
+            # tunneled links, which must not block the dispatch loop
+            groups.append((pending, (buf, kq, uq, K, B)))
             nbytes += kq * uq * buf.shape[2] * buf.dtype.itemsize
         ds = self.device_stats
         if (final and ds.placement is None and ds.state is not None
@@ -544,7 +552,13 @@ class SingleEndRunner:
         self.bytes_d2h += nbytes
 
         def fetch_all(parts):
-            return [_fetch_np(p) for p in parts]
+            out = []
+            for p in parts:
+                if isinstance(p, tuple):
+                    buf, kq, uq, K, B = p
+                    p = buf if (kq >= K and uq >= B) else buf[:kq, :uq]
+                out.append(_fetch_np(p))
+            return out
 
         self._in_flight.append(
             ([g[0] for g in groups],
@@ -576,6 +590,9 @@ class SingleEndRunner:
 
     def _consume_batch(self, rows, batch):
         """Decode one batch's packed rows and route the results."""
+        if batch.pre_medians is not None and not isinstance(
+                batch.pre_medians, np.ndarray):
+            batch.pre_medians = batch.pre_medians.result()  # stats worker
         if rows.shape[0] < len(batch.lens):
             # row-trimmed drain (partial batch): used rows are a contiguous
             # prefix, so the batch-side arrays narrow to match — everything
@@ -602,6 +619,15 @@ class SingleEndRunner:
             entry = self._find_block(seg.block)
             entry[1].scatter_rows(seg.indices, out, rows_sl)
             entry[2] -= len(seg.indices)
+
+    def _timed_pre_rows(self, batch):
+        ts = time.perf_counter()
+        med = self._batch_pre.add_rows(
+            batch.packed, batch.L, None,
+            batch.lens.astype(np.int64), None, None,
+            batch.read_mask, batch.layout)
+        self.timer.add("host_stats_pre", time.perf_counter() - ts)
+        return med
 
     def _host_post_batch(self, out, batch):
         """Host-statistics mode: post-statRead per out-slot in one native
