@@ -13,6 +13,7 @@ output equality with the reference is structural, not numeric.
 import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import TimeoutError as FuturesTimeout
 
 import numpy as np
 import jax
@@ -23,7 +24,7 @@ from ..io.writer import make_output_writer
 from ..stats import Stats
 from ..filter_result import FilterResult
 from ..common import FETCH_GROUP
-from ..util import loginfo
+from ..util import loginfo, DaemonExecutor
 from .batches import BatchBuilder, bucket_groups
 from .device import get_fast_step, out_cap, out_fields, TAG_NONE, \
     TAG_SPLIT_LEFT, TAG_SPLIT_RIGHT
@@ -175,6 +176,20 @@ class SingleEndRunner:
                 ver = ""
             backend = "host" if "axon" in ver else "device"
         self.host_stats_mode = backend == "host"
+        # fetch watchdog: if a device->host result fetch stalls beyond
+        # FASTPLONG_FETCH_TIMEOUT seconds (0 disables; the dev tunnel's
+        # documented worst weather wedges d2h for tens of minutes), the
+        # runner permanently falls back to computing batches on the host
+        # CPU backend — bounded completion under ANY interconnect state,
+        # byte-identical output (the kernels are integer-exact on every
+        # backend).  Armed only in host-statistics mode on a single
+        # device: statistics then never live on the device, so no
+        # accumulated device state is lost by abandoning it.
+        self.fetch_timeout = float(
+            _os.environ.get("FASTPLONG_FETCH_TIMEOUT", "120"))
+        self._fallback = False
+        self._watchdog = (self.fetch_timeout > 0 and self.host_stats_mode
+                          and self.placement is None)
         if self.host_stats_mode:
             from .host_stats import BatchStatAccumulator
             from .device import global_stat_len
@@ -212,7 +227,9 @@ class SingleEndRunner:
         self._warmed = set()
         if (_os.environ.get("FASTPLONG_PREWARM", "1") == "1"
                 and self.placement is None):
-            self._warm_pool = ThreadPoolExecutor(max_workers=6)
+            # daemon workers: a load wedged inside a dead tunnel must not
+            # hang interpreter exit (util.DaemonExecutor)
+            self._warm_pool = DaemonExecutor(6, "prewarm")
             # the platform gate runs ON the pool: jax.devices() triggers
             # backend init (1.5-4.5s through a tunnel) and must not block
             # the reader; prewarm tasks wait on it and no-op on CPU
@@ -309,8 +326,10 @@ class SingleEndRunner:
             self._flush_blocks = max(2, self._flush_blocks // 3)
             self._max_blocks_pending = max(3, self._max_blocks_pending // 3)
         # a single fetch thread pulls results to host in the background so
-        # d2h transfers overlap packing/dispatch on the main thread
-        self._fetcher = ThreadPoolExecutor(max_workers=1)
+        # d2h transfers overlap packing/dispatch on the main thread; daemon
+        # worker so a fetch wedged in a dead tunnel (watchdog fired and
+        # abandoned it) cannot hang interpreter exit
+        self._fetcher = DaemonExecutor(1, "fetcher")
         timer = self.timer
         t_run0 = time.perf_counter()
         while True:
@@ -389,7 +408,10 @@ class SingleEndRunner:
         while self._in_flight:
             self._drain_one()
         assert not self._block_queue, "incomplete blocks at EOF"
-        self._fetcher.shutdown()
+        # after a watchdog fallback the fetch worker may be wedged inside
+        # the device plugin — don't wait on it (daemon thread, process can
+        # exit regardless)
+        self._fetcher.shutdown(wait=not self._fallback)
         if self._warm_pool is not None:
             self._warm_pool.shutdown(wait=False)
         reader.close()
@@ -435,6 +457,8 @@ class SingleEndRunner:
     # ---------------------------------------------------------------- block
 
     def _dispatch(self, batch):
+        if self._fallback:
+            return self._dispatch_fallback(batch)
         t0 = time.perf_counter()
         monster = batch.L > self.stat_cap
         nostats = monster or self.host_stats_mode
@@ -568,7 +592,14 @@ class SingleEndRunner:
     def _drain_one(self):
         tags, fut = self._in_flight.pop(0)
         t0 = time.perf_counter()
-        arrs = fut.result()
+        try:
+            arrs = fut.result(timeout=self.fetch_timeout
+                              if self._watchdog else None)
+        except FuturesTimeout:
+            self.timer.add("fetch_wait", time.perf_counter() - t0)
+            self._enter_fallback(
+                [tags] + [t for t, _ in self._in_flight])
+            return
         self.timer.add("fetch_wait", time.perf_counter() - t0)
         t0 = time.perf_counter()
         for batches, group in zip(tags, arrs):
@@ -581,12 +612,90 @@ class SingleEndRunner:
             for j, batch in enumerate(batches):
                 self._consume_batch(group[j], batch)
         self.timer.add("accumulate", time.perf_counter() - t0)
-        # emit completed blocks from the head (input order)
+        self._emit_ready()
+
+    def _emit_ready(self):
+        """Emit completed blocks from the head (input order)."""
         while self._block_queue and self._block_queue[0][2] == 0:
             block, res, _ = self._block_queue.pop(0)
             t0 = time.perf_counter()
             self._emit(block, res)
             self.timer.add("emit", time.perf_counter() - t0, block.n)
+
+    # ------------------------------------------------- host CPU fallback
+
+    def _enter_fallback(self, tag_groups):
+        """The watchdog fired: a device result fetch stalled beyond
+        fetch_timeout.  Flip permanently to the host CPU backend —
+        recompute every already-dispatched batch (the in-flight fetch
+        groups plus the not-yet-flushed ring pendings) from its retained
+        or rebuilt packed feed, and compute all future batches on CPU at
+        dispatch.  The stuck fetch is abandoned on its daemon thread; the
+        kernels are integer-exact on every backend, so output bytes are
+        identical either way."""
+        self._fallback = True
+        self._in_flight = []
+        self._pending_batches = 0
+        sys.stderr.write(
+            "WARNING: device result fetch stalled > %.0fs — "
+            "recomputing on the host CPU backend (set "
+            "FASTPLONG_FETCH_TIMEOUT=0 to wait forever)\n"
+            % self.fetch_timeout)
+        t0 = time.perf_counter()
+        batches = []
+        for tags in tag_groups:
+            for group in tags:
+                assert group != "stats", \
+                    "watchdog must not arm with device-resident stats"
+                batches.extend(group)
+        for bs in self.device_stats.buckets.values():
+            pending, bs.pending = bs.pending, []
+            batches.extend(pending)
+        for batch in batches:
+            self._consume_batch(self._cpu_rows(batch), batch)
+        self.timer.add("fallback_recover", time.perf_counter() - t0,
+                       len(batches))
+        self._emit_ready()
+
+    def _dispatch_fallback(self, batch):
+        """Post-watchdog dispatch: compute the batch on the CPU backend
+        and consume it synchronously (no device, no fetch)."""
+        t0 = time.perf_counter()
+        monster = batch.L > self.stat_cap
+        if self.host_stats_mode and not monster:
+            batch.pre_medians = self._stats_pool.submit(
+                self._timed_pre_rows, batch)
+        rows = self._cpu_rows(batch)
+        self.timer.add("fallback_step", time.perf_counter() - t0)
+        self._consume_batch(rows, batch)
+        self._emit_ready()
+
+    def _cpu_rows(self, batch):
+        """Run the stats-free step for one batch on the host CPU backend;
+        returns the decoded [B, F] int32 result rows."""
+        packed = batch.packed
+        if packed is None:
+            packed = self._rebuild_packed(batch)
+        import jax.numpy as jnp
+        cpu = jax.devices("cpu")[0]
+        step = self._get_nostats_step()
+        with jax.default_device(cpu):
+            outbuf = jnp.zeros((1, packed.shape[0], self.n_fields),
+                               jnp.int32)
+            out = step(outbuf, np.int32(0), jnp.asarray(packed), batch.L)
+        return np.asarray(out[0])
+
+    def _rebuild_packed(self, batch):
+        """Recreate a dispatched batch's packed feed from its source
+        blocks (monster batches release theirs at dispatch; blocks stay
+        alive in _block_queue until every read is consumed)."""
+        b = BatchBuilder(batch.L)
+        for seg in batch.segments:
+            assert b.count == seg.row_start, "segment rows not a prefix"
+            b.add(seg.block, seg.indices)
+        assert b.packed.shape[0] == len(batch.lens), \
+            "rebuilt batch geometry diverged"
+        return b.packed
 
     def _consume_batch(self, rows, batch):
         """Decode one batch's packed rows and route the results."""

@@ -74,3 +74,61 @@ def dirname(path: str) -> str:
 
 def joinpath(d: str, f: str) -> str:
     return os.path.join(d, f)
+
+
+class DaemonExecutor:
+    """Minimal ThreadPoolExecutor lookalike whose workers are DAEMON
+    threads.
+
+    Used for every worker that calls into the device runtime (result
+    fetches, executable prewarm loads): a call wedged inside the device
+    plugin — a dead tunneled interconnect blocks inside a C extension with
+    no EINTR-able syscall — is uninterruptible, and a non-daemon worker
+    stuck there would hang interpreter exit (threading._shutdown joins
+    non-daemon threads).  Daemon workers let the process exit anyway; the
+    runner's fetch watchdog (pipeline/runner.py) guarantees results are
+    recomputed on the host CPU backend when that happens, so abandoning
+    the thread never loses work."""
+
+    def __init__(self, max_workers=1, thread_name_prefix="daemon-exec"):
+        import queue
+        from concurrent.futures import Future  # noqa: F401 (re-export)
+        self._q = queue.SimpleQueue()
+        self._threads = []
+        self._shut = False
+        for i in range(max_workers):
+            t = threading.Thread(target=self._worker, daemon=True,
+                                 name="%s-%d" % (thread_name_prefix, i))
+            t.start()
+            self._threads.append(t)
+
+    def submit(self, fn, *args, **kwargs):
+        from concurrent.futures import Future
+        if self._shut:
+            raise RuntimeError("cannot submit after shutdown")
+        f = Future()
+        self._q.put((f, fn, args, kwargs))
+        return f
+
+    def _worker(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            f, fn, args, kwargs = item
+            if not f.set_running_or_notify_cancel():
+                continue
+            try:
+                f.set_result(fn(*args, **kwargs))
+            except BaseException as e:  # noqa: BLE001 — surface via future
+                f.set_exception(e)
+
+    def shutdown(self, wait=True, timeout=None):
+        """Stop accepting work.  wait=True joins workers (bounded by
+        `timeout` per thread — never hang exit on a wedged device call)."""
+        self._shut = True
+        for _ in self._threads:
+            self._q.put(None)
+        if wait:
+            for t in self._threads:
+                t.join(timeout=timeout)

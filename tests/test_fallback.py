@@ -1,0 +1,133 @@
+"""Fetch-watchdog host fallback: when a device->host result fetch stalls
+beyond FASTPLONG_FETCH_TIMEOUT (a dead/degraded interconnect — the dev
+tunnel's documented worst weather wedges d2h for tens of minutes), the
+runner must flip to the host CPU backend and still produce byte-identical
+output in bounded time.  The reference has no elastic-recovery analog
+(SURVEY §5: failures are fatal error_exit); this is TPU-build hardening
+for remote-attached accelerators."""
+
+import threading
+import time
+
+from golden_util import run_ours, strip_command, write_random_fastq
+
+
+def _read(path):
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def _read_json(path):
+    """JSON bytes minus the run-dependent command line (paths differ
+    between the two runs' output dirs)."""
+    with open(path) as f:
+        return strip_command(f.read())
+
+
+def _stuck_first_fetch(monkeypatch):
+    """Monkeypatch runner._fetch_np so the FIRST fetch blocks ~forever
+    (simulating a wedged tunnel d2h); later calls block too — after the
+    watchdog fires nothing should consume them anyway."""
+    from fastplong_tpu.pipeline import runner as runner_mod
+    calls = {"n": 0}
+    gate = threading.Event()
+
+    def stuck(arr):
+        calls["n"] += 1
+        gate.wait(timeout=300)  # daemon thread: abandoned, never set
+        raise RuntimeError("stuck fetch unexpectedly resumed")
+
+    monkeypatch.setattr(runner_mod, "_fetch_np", stuck)
+    return calls
+
+
+def test_fallback_byte_parity(tmp_path, monkeypatch):
+    """Normal run vs stuck-tunnel run: identical out/failed/JSON bytes."""
+    fq = write_random_fastq(str(tmp_path / "in.fq"), n_reads=300,
+                            min_len=30, max_len=900, seed=11,
+                            adapter_start="AATGTACTTCGTTCAGTTACGTATTGCT",
+                            adapter_prob=0.4, polya_prob=0.3)
+    args = ["-s", "AATGTACTTCGTTCAGTTACGTATTGCT", "-x",
+            "--cut_front", "--cut_tail", "--stats_backend", "host"]
+    a = tmp_path / "a"
+    a.mkdir()
+    out_a, failed_a, json_a = run_ours(fq, str(a), args)
+
+    monkeypatch.setenv("FASTPLONG_FETCH_TIMEOUT", "0.3")
+    calls = _stuck_first_fetch(monkeypatch)
+    b = tmp_path / "b"
+    b.mkdir()
+    t0 = time.time()
+    out_b, failed_b, json_b = run_ours(fq, str(b), args)
+    assert time.time() - t0 < 120, "fallback did not bound completion time"
+    assert calls["n"] >= 1, "no fetch ever started — watchdog untested"
+    assert _read(out_a) == _read(out_b)
+    assert _read(failed_a) == _read(failed_b)
+    assert _read_json(json_a) == _read_json(json_b)
+
+
+def test_fallback_midrun_dispatch(tmp_path, monkeypatch):
+    """Watchdog firing MID-run (minimal queue depths force an early
+    drain): later batches must route through the CPU dispatch path and
+    output must stay byte-identical."""
+    from fastplong_tpu.pipeline import runner as runner_mod
+    fq = write_random_fastq(str(tmp_path / "in.fq"), n_reads=400,
+                            min_len=30, max_len=700, seed=23,
+                            adapter_start="AATGTACTTCGTTCAGTTACGTATTGCT",
+                            adapter_prob=0.3)
+    args = ["-s", "AATGTACTTCGTTCAGTTACGTATTGCT", "-5", "-3",
+            "--stats_backend", "host"]
+    a = tmp_path / "a"
+    a.mkdir()
+    out_a, failed_a, json_a = run_ours(fq, str(a), args)
+
+    monkeypatch.setenv("FASTPLONG_FETCH_TIMEOUT", "0.3")
+    monkeypatch.setattr(runner_mod, "FETCH_GROUP", 1)
+    monkeypatch.setattr(runner_mod.SingleEndRunner, "MAX_IN_FLIGHT", 0)
+    _stuck_first_fetch(monkeypatch)
+    b = tmp_path / "b"
+    b.mkdir()
+    out_b, failed_b, json_b = run_ours(fq, str(b), args)
+    assert _read(out_a) == _read(out_b)
+    assert _read(failed_a) == _read(failed_b)
+    assert _read_json(json_a) == _read_json(json_b)
+
+
+def test_fallback_monster_rebuild(tmp_path, monkeypatch):
+    """Monster batches release their packed feed at dispatch; the
+    fallback must rebuild it from the source blocks (_rebuild_packed)."""
+    monkeypatch.setenv("FASTPLONG_STAT_DEVICE_CAP", "512")
+    fq = write_random_fastq(str(tmp_path / "in.fq"), n_reads=120,
+                            min_len=100, max_len=1500, seed=31,
+                            adapter_start="AATGTACTTCGTTCAGTTACGTATTGCT",
+                            adapter_prob=0.3)
+    args = ["-s", "AATGTACTTCGTTCAGTTACGTATTGCT", "--stats_backend",
+            "host"]
+    a = tmp_path / "a"
+    a.mkdir()
+    out_a, failed_a, json_a = run_ours(fq, str(a), args)
+
+    monkeypatch.setenv("FASTPLONG_FETCH_TIMEOUT", "0.3")
+    _stuck_first_fetch(monkeypatch)
+    b = tmp_path / "b"
+    b.mkdir()
+    out_b, failed_b, json_b = run_ours(fq, str(b), args)
+    assert _read(out_a) == _read(out_b)
+    assert _read(failed_a) == _read(failed_b)
+    assert _read_json(json_a) == _read_json(json_b)
+
+
+def test_daemon_executor():
+    from fastplong_tpu.util import DaemonExecutor
+    ex = DaemonExecutor(2)
+    assert ex.submit(lambda a, b: a + b, 2, 3).result(5) == 5
+    f = ex.submit(lambda: 1 / 0)
+    try:
+        f.result(5)
+        assert False, "exception not propagated"
+    except ZeroDivisionError:
+        pass
+    # workers must be daemon threads (wedged device calls cannot be
+    # allowed to hang interpreter exit)
+    assert all(t.daemon for t in ex._threads)
+    ex.shutdown(timeout=5)
