@@ -31,11 +31,21 @@ def ensure_reference():
     if os.path.exists(REF_BIN):
         return REF_BIN
     script = os.path.join(HERE, "golden", "build_reference.sh")
-    try:
-        subprocess.run(["bash", script], check=True, capture_output=True,
-                       timeout=600, env=ref_env())
-    except Exception as e:
-        pytest.skip("cannot build reference binary: %s" % e)
+    # serialize the build across pytest-xdist workers (flock, not a pid
+    # check: the loser must WAIT for the winner's build, not skip)
+    import fcntl
+    lockpath = os.path.join("/tmp", "fastplong_ref_build.lock")
+    with open(lockpath, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            if not os.path.exists(REF_BIN):
+                subprocess.run(["bash", script], check=True,
+                               capture_output=True, timeout=600,
+                               env=ref_env())
+        except Exception as e:
+            pytest.skip("cannot build reference binary: %s" % e)
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
     if not os.path.exists(REF_BIN):
         pytest.skip("reference binary missing after build")
     return REF_BIN
