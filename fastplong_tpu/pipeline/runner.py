@@ -11,7 +11,9 @@ output equality with the reference is structural, not numeric.
 """
 
 import sys
+import threading
 import time
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from concurrent.futures import TimeoutError as FuturesTimeout
 
@@ -190,6 +192,15 @@ class SingleEndRunner:
         self._fallback = False
         self._watchdog = (self.fetch_timeout > 0 and self.host_stats_mode
                           and self.placement is None)
+        # async dispatch: h2d transfer + device step dispatch run on a
+        # single dedicated thread (reference analog: the reader thread
+        # hands packs off and keeps reading, seprocessor.cpp:331-429), so
+        # the main thread's parse/pack/emit overlaps the link.  One worker
+        # keeps ring-slot order; flushes synchronize before slicing rings.
+        self._disp_futs = deque()    # (future, batch) since last sync
+        self._bucket_submits = {}    # bucket L -> submits since last flush
+        self._disp_lock = threading.Lock()
+        self._disp_sealed = False    # set by the watchdog fallback
         if self.host_stats_mode:
             from .host_stats import BatchStatAccumulator
             from .device import global_stat_len
@@ -330,6 +341,9 @@ class SingleEndRunner:
         # worker so a fetch wedged in a dead tunnel (watchdog fired and
         # abandoned it) cannot hang interpreter exit
         self._fetcher = DaemonExecutor(1, "fetcher")
+        # ...and a single dispatch thread pushes feeds to the device so
+        # h2d transfers + per-op dispatch latency overlap parse/pack/emit
+        self._dispatcher = DaemonExecutor(1, "dispatcher")
         timer = self.timer
         t_run0 = time.perf_counter()
         while True:
@@ -408,10 +422,11 @@ class SingleEndRunner:
         while self._in_flight:
             self._drain_one()
         assert not self._block_queue, "incomplete blocks at EOF"
-        # after a watchdog fallback the fetch worker may be wedged inside
-        # the device plugin — don't wait on it (daemon thread, process can
-        # exit regardless)
+        # after a watchdog fallback the fetch/dispatch workers may be
+        # wedged inside the device plugin — don't wait on them (daemon
+        # threads, process can exit regardless)
         self._fetcher.shutdown(wait=not self._fallback)
+        self._dispatcher.shutdown(wait=not self._fallback)
         if self._warm_pool is not None:
             self._warm_pool.shutdown(wait=False)
         reader.close()
@@ -461,16 +476,51 @@ class SingleEndRunner:
             return self._dispatch_fallback(batch)
         t0 = time.perf_counter()
         monster = batch.L > self.stat_cap
+        self.bytes_h2d += batch.packed.nbytes
+        if self.host_stats_mode and not monster:
+            # pre-statRead in one native pass on the stats worker,
+            # overlapped with the async device dispatch AND with this
+            # thread's packing; packed stays alive for the post pass at
+            # drain time
+            batch.pre_medians = self._stats_pool.submit(
+                self._timed_pre_rows, batch)
+        self._disp_futs.append(
+            (self._dispatcher.submit(self._device_dispatch, batch), batch))
+        self._pending_batches += 1
+        k = self._bucket_submits.get(batch.L, 0) + 1
+        self._bucket_submits[batch.L] = k
+        self.timer.add("dispatch_submit", time.perf_counter() - t0)
+        if k >= FETCH_GROUP:
+            # a full ring forces a drain; take every bucket's pending
+            # batches along in the same single transfer (fetch count is
+            # the scarce resource, not bytes)
+            self._flush_pending_groups()
+        elif (not self._in_flight
+              and self._pending_batches >= self.EARLY_FETCH_BATCHES):
+            self._flush_pending_groups()
+        while len(self._in_flight) > self._max_in_flight:
+            self._drain_one()
+
+    def _device_dispatch(self, batch):
+        """Runs on the single dispatcher thread: h2d transfer + device
+        step dispatch, serialized (ring-slot order) but overlapped with
+        the main thread's parse/pack/emit.  Returns True once the batch
+        is queued on its bucket's ring; False if the watchdog sealed the
+        run first — the batch then belongs to the fallback replay set
+        (_enter_fallback)."""
+        if self._fallback:
+            return False
+        t0 = time.perf_counter()
+        monster = batch.L > self.stat_cap
         nostats = monster or self.host_stats_mode
         sharded = self.placement is not None and not monster
         bs = self.device_stats.bucket(batch.L, batch.packed.shape[0],
                                       self.n_fields, with_stats=not nostats,
                                       sharded=sharded)
         slot = np.int32(len(bs.pending))
-        self.bytes_h2d += batch.packed.nbytes
         if nostats:
             # stats-free device step: monster buckets (stats per-read on
-            # host) and host-statistics mode (stats per-batch below);
+            # host) and host-statistics mode (stats per-batch at drain);
             # monster batches also bypass the mesh — 1-few rows would
             # waste N-1 shards
             if sharded:
@@ -488,28 +538,32 @@ class SingleEndRunner:
                                          batch.L)
             self.device_stats.state = state
             self.device_stats.note_batch(batch.L, int(batch.lens.max()))
-        if self.host_stats_mode and not monster:
-            # pre-statRead in one native pass on the stats worker,
-            # overlapped with the async device dispatch above AND with
-            # this thread's packing; packed stays alive for the post
-            # pass at drain time
-            batch.pre_medians = self._stats_pool.submit(
-                self._timed_pre_rows, batch)
-        else:
+        if not (self.host_stats_mode and not monster):
             batch.packed = None  # release the host-side feed buffer
-        bs.pending.append(batch)
-        self._pending_batches += 1
+        with self._disp_lock:
+            # seal check + append must be atomic: a dispatch that
+            # unwedges AFTER the fallback replayed the pending lists must
+            # not add to them (it would be processed twice)
+            if self._disp_sealed:
+                return False
+            bs.pending.append(batch)
         self.timer.add("dispatch", time.perf_counter() - t0)
-        if len(bs.pending) >= FETCH_GROUP:
-            # a full ring forces a drain; take every bucket's pending
-            # batches along in the same single transfer (fetch count is
-            # the scarce resource, not bytes)
-            self._flush_pending_groups()
-        elif (not self._in_flight
-              and self._pending_batches >= self.EARLY_FETCH_BATCHES):
-            self._flush_pending_groups()
-        while len(self._in_flight) > self._max_in_flight:
-            self._drain_one()
+        return True
+
+    def _sync_dispatch(self):
+        """Block until every submitted device dispatch has executed —
+        ring slots and pending lists are then consistent for a flush.
+        Re-raises dispatcher-task exceptions.  After a watchdog fallback
+        the futures may never complete (wedged plugin) and their batches
+        were already claimed for replay — skip them."""
+        if not self._disp_futs:
+            return
+        t0 = time.perf_counter()
+        while self._disp_futs:
+            fut, _ = self._disp_futs.popleft()
+            if not self._fallback:
+                fut.result()
+        self.timer.add("dispatch_wait", time.perf_counter() - t0)
 
     def _flush_pending_groups(self, final=False):
         """Flush every bucket's pending batches as one drain EVENT.
@@ -523,6 +577,8 @@ class SingleEndRunner:
         device-side concatenation: that too would compile per shape
         combination).  The end-of-input drain (final=True) rides the
         statistics state along as one more part."""
+        self._sync_dispatch()
+        self._bucket_submits.clear()
         t_flush0 = time.perf_counter()
         groups = []   # (tag, device_array) pairs, fetched in order
         nbytes = 0
@@ -642,7 +698,30 @@ class SingleEndRunner:
             "FASTPLONG_FETCH_TIMEOUT=0 to wait forever)\n"
             % self.fetch_timeout)
         t0 = time.perf_counter()
-        batches = []
+        # bounded-wait the in-progress device dispatch (queued tasks see
+        # _fallback and no-op), then seal: a dispatch that unwedges later
+        # must not append to pending lists this replay is about to drain
+        deadline = time.monotonic() + min(30.0, max(1.0, self.fetch_timeout))
+        for fut, _ in list(self._disp_futs):
+            try:
+                fut.result(timeout=max(0.05, deadline - time.monotonic()))
+            except Exception:
+                pass  # timeout or task error: counted as not-queued below
+        with self._disp_lock:
+            self._disp_sealed = True
+        replay = []
+        for fut, b in self._disp_futs:
+            queued = False
+            if fut.done():
+                try:
+                    queued = fut.result(timeout=0) is True
+                except Exception:
+                    queued = False
+            if not queued:
+                # never reached its ring: recompute it with the pendings
+                replay.append(b)
+        self._disp_futs.clear()
+        batches = list(replay)
         for tags in tag_groups:
             for group in tags:
                 assert group != "stats", \

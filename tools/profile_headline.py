@@ -27,15 +27,16 @@ def main():
 
     from fastplong_tpu.pipeline.runner import SingleEndRunner
     calls = []
-    orig = SingleEndRunner._dispatch
+    orig = SingleEndRunner._device_dispatch
 
     def timed(self, batch):
         t0 = time.perf_counter()
-        orig(self, batch)
-        calls.append((batch.L, batch.packed.shape[0] if batch.packed is not None else -1,
-                      time.perf_counter() - t0))
+        rows = batch.packed.shape[0] if batch.packed is not None else -1
+        r = orig(self, batch)
+        calls.append((batch.L, rows, time.perf_counter() - t0))
+        return r
 
-    SingleEndRunner._dispatch = timed
+    SingleEndRunner._device_dispatch = timed
 
     opt = build_opt(in_fq, workdir, "prof")
     t0 = time.time()
