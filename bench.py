@@ -163,12 +163,18 @@ def timed_run(in_fq, workdir, tag, devices=1, extra=()):
 def main():
     # honor JAX_PLATFORMS even under plugins that ignore the env var (the
     # axon TPU plugin claims the process regardless) — needed for the
-    # virtual-CPU-mesh scaling table
+    # virtual-CPU-mesh scaling table.  jax_platforms is an EXCLUSIVE list:
+    # setting just "axon" deregisters the CPU backend, which crashed the
+    # round-3 fetch-watchdog fallback mid-bench ("Unknown backend cpu").
+    # Keep "cpu" in the list (the first entry stays the default platform);
+    # the runner's host fallback additionally works backend-free now
+    # (pipeline/host_step.py), so this is belt and braces.
     plat = os.environ.get("JAX_PLATFORMS", "")
     if plat:
         import jax
         try:
-            jax.config.update("jax_platforms", plat)
+            cfg = plat if "cpu" in plat.split(",") else plat + ",cpu"
+            jax.config.update("jax_platforms", cfg)
         except Exception:
             pass
     workdir = os.environ.get("FASTPLONG_BENCH_DIR", "/tmp/fastplong_bench")

@@ -104,7 +104,7 @@ class Segment:
 
 class Batch:
     __slots__ = ("packed", "lens", "read_mask", "segments", "L", "layout",
-                 "pre_medians")
+                 "pre_medians", "_queued")
 
     def __init__(self, packed, lens, read_mask, segments, L, layout="b5"):
         self.packed = packed        # [B, L+8] (base5) or [B, 2L+8] (wide)
@@ -114,6 +114,8 @@ class Batch:
         self.L = L
         self.layout = layout
         self.pre_medians = None     # host-stats mode: per-row median bytes
+        self._queued = False        # set with the bs.pending append
+                                    # (runner._device_dispatch, under lock)
 
 
 class BatchBuilder:

@@ -543,9 +543,14 @@ class SingleEndRunner:
         with self._disp_lock:
             # seal check + append must be atomic: a dispatch that
             # unwedges AFTER the fallback replayed the pending lists must
-            # not add to them (it would be processed twice)
+            # not add to them (it would be processed twice).  The _queued
+            # flag is set IN the same critical section: _enter_fallback
+            # classifies replay candidates by it (a future can lag its
+            # task's append, so fut.done() would double-count the batch —
+            # once replayed, once drained from bs.pending).
             if self._disp_sealed:
                 return False
+            batch._queued = True
             bs.pending.append(batch)
         self.timer.add("dispatch", time.perf_counter() - t0)
         return True
@@ -555,14 +560,31 @@ class SingleEndRunner:
         ring slots and pending lists are then consistent for a flush.
         Re-raises dispatcher-task exceptions.  After a watchdog fallback
         the futures may never complete (wedged plugin) and their batches
-        were already claimed for replay — skip them."""
+        were already claimed for replay — skip them.
+
+        With the watchdog armed the wait is BOUNDED: a wedge inside
+        h2d/dispatch (not just d2h) enters the host fallback instead of
+        hanging the run forever, mirroring _drain_one."""
         if not self._disp_futs:
             return
         t0 = time.perf_counter()
         while self._disp_futs:
-            fut, _ = self._disp_futs.popleft()
-            if not self._fallback:
-                fut.result()
+            if self._fallback:
+                self._disp_futs.popleft()
+                continue
+            # peek, don't pop: on a watchdog trip _enter_fallback must
+            # still see this batch to classify it for replay
+            fut, _ = self._disp_futs[0]
+            try:
+                fut.result(timeout=self.fetch_timeout
+                           if self._watchdog else None)
+            except FuturesTimeout:
+                self.timer.add("dispatch_wait", time.perf_counter() - t0)
+                self._enter_fallback([t for t, _ in self._in_flight],
+                                     reason="device dispatch")
+                return
+            if self._disp_futs and self._disp_futs[0][0] is fut:
+                self._disp_futs.popleft()
         self.timer.add("dispatch_wait", time.perf_counter() - t0)
 
     def _flush_pending_groups(self, final=False):
@@ -680,23 +702,23 @@ class SingleEndRunner:
 
     # ------------------------------------------------- host CPU fallback
 
-    def _enter_fallback(self, tag_groups):
-        """The watchdog fired: a device result fetch stalled beyond
-        fetch_timeout.  Flip permanently to the host CPU backend —
+    def _enter_fallback(self, tag_groups, reason="device result fetch"):
+        """The watchdog fired: a device fetch (or dispatch) stalled beyond
+        fetch_timeout.  Flip permanently to the host backend —
         recompute every already-dispatched batch (the in-flight fetch
         groups plus the not-yet-flushed ring pendings) from its retained
-        or rebuilt packed feed, and compute all future batches on CPU at
-        dispatch.  The stuck fetch is abandoned on its daemon thread; the
-        kernels are integer-exact on every backend, so output bytes are
-        identical either way."""
+        or rebuilt packed feed, and compute all future batches on the host
+        at dispatch.  The stuck fetch is abandoned on its daemon thread;
+        the kernels are integer-exact on every backend, so output bytes
+        are identical either way."""
         self._fallback = True
         self._in_flight = []
         self._pending_batches = 0
         sys.stderr.write(
-            "WARNING: device result fetch stalled > %.0fs — "
-            "recomputing on the host CPU backend (set "
+            "WARNING: %s stalled > %.0fs — "
+            "recomputing on the host (set "
             "FASTPLONG_FETCH_TIMEOUT=0 to wait forever)\n"
-            % self.fetch_timeout)
+            % (reason, self.fetch_timeout))
         t0 = time.perf_counter()
         # bounded-wait the in-progress device dispatch (queued tasks see
         # _fallback and no-op), then seal: a dispatch that unwedges later
@@ -709,17 +731,12 @@ class SingleEndRunner:
                 pass  # timeout or task error: counted as not-queued below
         with self._disp_lock:
             self._disp_sealed = True
-        replay = []
-        for fut, b in self._disp_futs:
-            queued = False
-            if fut.done():
-                try:
-                    queued = fut.result(timeout=0) is True
-                except Exception:
-                    queued = False
-            if not queued:
-                # never reached its ring: recompute it with the pendings
-                replay.append(b)
+            # classify by the _queued flag (set atomically with the
+            # bs.pending append): a dispatcher task can append BEFORE its
+            # future is marked done, and such a batch must not be both
+            # replayed here and drained from bs.pending below
+            replay = [b for _, b in self._disp_futs
+                      if not getattr(b, "_queued", False)]
         self._disp_futs.clear()
         batches = list(replay)
         for tags in tag_groups:

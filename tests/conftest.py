@@ -26,6 +26,19 @@ import pytest  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 
+def pytest_load_initial_conftests(early_config, parser, args):
+    """pytest.ini's `-n auto` requires pytest-xdist (a test-only
+    dependency); without the plugin the flag is an unknown option and
+    pytest exits with a usage error.  Strip it so the suite still runs,
+    just serially."""
+    try:
+        import xdist  # noqa: F401
+    except ImportError:
+        while "-n" in args:
+            i = args.index("-n")
+            del args[i:i + 2]
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running test (multi-process jax etc.)")

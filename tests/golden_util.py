@@ -27,23 +27,56 @@ def ref_env():
             if k not in ("LD_PRELOAD", "ASAN_OPTIONS")}
 
 
+def _build_scope():
+    """Per-user, per-test-run suffix for the build lock and failure
+    marker: a world-shared fixed /tmp name is an EACCES trap between
+    users, and a failure marker scoped to one xdist run keeps later
+    workers from serially repeating a doomed 600s build without
+    permanently poisoning future runs."""
+    import getpass
+    try:
+        user = getpass.getuser()
+    except Exception:
+        user = str(os.getuid()) if hasattr(os, "getuid") else "u"
+    run = os.environ.get("PYTEST_XDIST_TESTRUNUID", "local")
+    return "%s.%s" % (user, run)
+
+
 def ensure_reference():
     if os.path.exists(REF_BIN):
         return REF_BIN
     script = os.path.join(HERE, "golden", "build_reference.sh")
+    scope = _build_scope()
+    marker = os.path.join("/tmp", "fastplong_ref_build_failed.%s" % scope)
+    if os.path.exists(marker):
+        pytest.skip("reference build already failed this run: %s"
+                    % open(marker).read()[:200])
     # serialize the build across pytest-xdist workers (flock, not a pid
     # check: the loser must WAIT for the winner's build, not skip)
     import fcntl
-    lockpath = os.path.join("/tmp", "fastplong_ref_build.lock")
-    with open(lockpath, "w") as lock:
+    lockpath = os.path.join("/tmp", "fastplong_ref_build.lock.%s" % scope)
+    try:
+        lock = open(lockpath, "w")
+    except OSError as e:
+        pytest.skip("cannot open reference build lock: %s" % e)
+    with lock:
         fcntl.flock(lock, fcntl.LOCK_EX)
         try:
+            if os.path.exists(marker):
+                pytest.skip("reference build already failed this run")
             if not os.path.exists(REF_BIN):
                 subprocess.run(["bash", script], check=True,
                                capture_output=True, timeout=600,
                                env=ref_env())
         except Exception as e:
-            pytest.skip("cannot build reference binary: %s" % e)
+            if not isinstance(e, pytest.skip.Exception):
+                try:
+                    with open(marker, "w") as m:
+                        m.write(repr(e))
+                except OSError:
+                    pass
+                pytest.skip("cannot build reference binary: %s" % e)
+            raise
         finally:
             fcntl.flock(lock, fcntl.LOCK_UN)
     if not os.path.exists(REF_BIN):
