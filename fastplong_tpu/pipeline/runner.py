@@ -767,19 +767,53 @@ class SingleEndRunner:
         self._emit_ready()
 
     def _cpu_rows(self, batch):
-        """Run the stats-free step for one batch on the host CPU backend;
-        returns the decoded [B, F] int32 result rows."""
+        """Run the stats-free step for one batch on the host; returns the
+        decoded [B, F] int32 result rows.
+
+        Layered: the JAX CPU backend when one exists (vectorized, XLA-
+        compiled), else the backend-free numpy host step (pipeline/
+        host_step.py) — both bit-identical to the device step.  The
+        round-3 bench TPU shipped NO CPU backend (only the device
+        plugin), so this rescue path must never require one.
+        FASTPLONG_FALLBACK_BACKEND=numpy|jax|auto forces a layer."""
         packed = batch.packed
         if packed is None:
             packed = self._rebuild_packed(batch)
-        import jax.numpy as jnp
-        cpu = jax.devices("cpu")[0]
-        step = self._get_nostats_step()
-        with jax.default_device(cpu):
-            outbuf = jnp.zeros((1, packed.shape[0], self.n_fields),
-                               jnp.int32)
-            out = step(outbuf, np.int32(0), jnp.asarray(packed), batch.L)
-        return np.asarray(out[0])
+        mode = _os.environ.get("FASTPLONG_FALLBACK_BACKEND", "auto")
+        if mode != "numpy":
+            cpu = self._cpu_backend()
+            if cpu is not None:
+                try:
+                    import jax.numpy as jnp
+                    step = self._get_nostats_step()
+                    with jax.default_device(cpu):
+                        outbuf = jnp.zeros(
+                            (1, packed.shape[0], self.n_fields), jnp.int32)
+                        out = step(outbuf, np.int32(0), jnp.asarray(packed),
+                                   batch.L)
+                    return np.asarray(out[0])
+                except Exception as e:
+                    if mode == "jax":
+                        raise
+                    sys.stderr.write(
+                        "WARNING: JAX CPU fallback failed (%s: %s) — "
+                        "using the numpy host step\n"
+                        % (type(e).__name__, e))
+                    self._cpu_dev = None  # don't retry per batch
+            elif mode == "jax":
+                raise RuntimeError("no JAX CPU backend available")
+        from .host_step import host_rows
+        return host_rows(self.opt, packed, batch.L, self.n_fields)
+
+    def _cpu_backend(self):
+        """The JAX CPU device, or None when the install has no CPU
+        backend (probed once)."""
+        if not hasattr(self, "_cpu_dev"):
+            try:
+                self._cpu_dev = jax.devices("cpu")[0]
+            except Exception:
+                self._cpu_dev = None
+        return self._cpu_dev
 
     def _rebuild_packed(self, batch):
         """Recreate a dispatched batch's packed feed from its source

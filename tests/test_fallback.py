@@ -117,6 +117,68 @@ def test_fallback_monster_rebuild(tmp_path, monkeypatch):
     assert _read_json(json_a) == _read_json(json_b)
 
 
+def test_fallback_numpy_backend_parity(tmp_path, monkeypatch):
+    """The rescue must complete byte-identically WITHOUT a JAX CPU
+    backend (the round-3 bench TPU shipped none — jax.devices('cpu')
+    raised and the rescue crashed): simulate that environment by making
+    the CPU-backend probe fail, forcing the numpy host step."""
+    import jax as jax_mod
+    from fastplong_tpu.pipeline import runner as runner_mod
+    fq = write_random_fastq(str(tmp_path / "in.fq"), n_reads=250,
+                            min_len=30, max_len=800, seed=41,
+                            adapter_start="AATGTACTTCGTTCAGTTACGTATTGCT",
+                            adapter_prob=0.4, polya_prob=0.2)
+    args = ["-s", "AATGTACTTCGTTCAGTTACGTATTGCT", "-x", "-5", "-3",
+            "--stats_backend", "host"]
+    a = tmp_path / "a"
+    a.mkdir()
+    out_a, failed_a, json_a = run_ours(fq, str(a), args)
+
+    real_devices = jax_mod.devices
+
+    def no_cpu_devices(platform=None):
+        if platform == "cpu":
+            raise RuntimeError(
+                "Unknown backend cpu. Available backends are ['axon']")
+        return real_devices(platform)
+
+    monkeypatch.setenv("FASTPLONG_FETCH_TIMEOUT", "0.3")
+    monkeypatch.setattr(runner_mod.jax, "devices", no_cpu_devices)
+    _stuck_first_fetch(monkeypatch)
+    b = tmp_path / "b"
+    b.mkdir()
+    t0 = time.time()
+    out_b, failed_b, json_b = run_ours(fq, str(b), args)
+    assert time.time() - t0 < 120
+    assert _read(out_a) == _read(out_b)
+    assert _read(failed_a) == _read(failed_b)
+    assert _read_json(json_a) == _read_json(json_b)
+
+
+def test_fallback_forced_numpy_env(tmp_path, monkeypatch):
+    """FASTPLONG_FALLBACK_BACKEND=numpy pins the numpy host step even
+    when a CPU backend exists (deterministic coverage of that layer)."""
+    fq = write_random_fastq(str(tmp_path / "in.fq"), n_reads=200,
+                            min_len=30, max_len=600, seed=43,
+                            adapter_start="AATGTACTTCGTTCAGTTACGTATTGCT",
+                            adapter_prob=0.4)
+    args = ["-s", "AATGTACTTCGTTCAGTTACGTATTGCT", "-b",
+            "--stats_backend", "host"]
+    a = tmp_path / "a"
+    a.mkdir()
+    out_a, failed_a, json_a = run_ours(fq, str(a), args)
+
+    monkeypatch.setenv("FASTPLONG_FETCH_TIMEOUT", "0.3")
+    monkeypatch.setenv("FASTPLONG_FALLBACK_BACKEND", "numpy")
+    _stuck_first_fetch(monkeypatch)
+    b = tmp_path / "b"
+    b.mkdir()
+    out_b, failed_b, json_b = run_ours(fq, str(b), args)
+    assert _read(out_a) == _read(out_b)
+    assert _read(failed_a) == _read(failed_b)
+    assert _read_json(json_a) == _read_json(json_b)
+
+
 def test_daemon_executor():
     from fastplong_tpu.util import DaemonExecutor
     ex = DaemonExecutor(2)
