@@ -6,6 +6,8 @@ carry per length bucket) and are fetched once at end of run, sliced under
 the interconnect's large-transfer limit.
 """
 
+import threading
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -93,6 +95,22 @@ class DeviceStats:
         self.stat_batches = 0
         self.max_seen = 0      # longest device-statted read (trims drains)
         self.drained = {"pre": [], "post": []}  # list of numpy dicts
+        # watchdog-fallback support: once sealed, a late-completing drain
+        # fetch (wedged on its thread, then unwedged) must not append —
+        # its content was already recomputed host-side
+        self.sealed = False
+        self.lock = threading.Lock()
+
+    def seal(self):
+        """Abandon all device-resident statistics state (watchdog
+        fallback): discard the accumulator AND the periodically-drained
+        host partials (the recompute covers every device-statted read, so
+        keeping them would double-count), and block late drain appends."""
+        with self.lock:
+            self.sealed = True
+            self.drained = {"pre": [], "post": []}
+            self.state = None
+            self.stat_batches = 0
 
     def bucket(self, L, B, F, with_stats=True, sharded=None):
         b = self.buckets.get(L)
@@ -166,21 +184,27 @@ class DeviceStats:
         SL = (self.state.shape[-1] - _FLAT_EXTRA) // _FLAT_PER_L
         st = self.trimmed_state()
         m = (st.shape[-1] - _FLAT_EXTRA) // _FLAT_PER_L
-        pre, post = self._fetch_state(st, m)
-        self.drained["pre"].append(pre)
-        self.drained["post"].append(post)
-        if self.placement is None:
-            self.state = init_stats_state(SL)
-        else:
-            self.state = self.placement.init_state(SL)
-        self.stat_batches = 0
+        pre, post = self._fetch_state(st, m)   # may wedge (dead link)
+        with self.lock:
+            if self.sealed:
+                return  # recomputed host-side already; don't double-count
+            self.drained["pre"].append(pre)
+            self.drained["post"].append(post)
+            if self.placement is None:
+                self.state = init_stats_state(SL)
+            else:
+                self.state = self.placement.init_state(SL)
+            self.stat_batches = 0
 
     def consume_flat(self, state_np):
         """Accept a host copy of the [2, F] state that rode along in a
         combined drain transfer (runner._flush_pending_groups(final=True))."""
         L = (state_np.shape[-1] - _FLAT_EXTRA) // _FLAT_PER_L
-        self.drained["pre"].append(unflatten_side(state_np[0], L))
-        self.drained["post"].append(unflatten_side(state_np[1], L))
+        with self.lock:
+            if self.sealed:
+                return
+            self.drained["pre"].append(unflatten_side(state_np[0], L))
+            self.drained["post"].append(unflatten_side(state_np[1], L))
 
     def finish(self):
         """Drain everything; returns (pre_partials, post_partials) lists."""

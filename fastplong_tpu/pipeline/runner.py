@@ -182,16 +182,22 @@ class SingleEndRunner:
         # FASTPLONG_FETCH_TIMEOUT seconds (0 disables; the dev tunnel's
         # documented worst weather wedges d2h for tens of minutes), the
         # runner permanently falls back to computing batches on the host
-        # CPU backend — bounded completion under ANY interconnect state,
-        # byte-identical output (the kernels are integer-exact on every
-        # backend).  Armed only in host-statistics mode on a single
-        # device: statistics then never live on the device, so no
-        # accumulated device state is lost by abandoning it.
+        # — bounded completion under ANY interconnect state, byte-
+        # identical output (the kernels are integer-exact on every
+        # backend).  Armed in EVERY mode: when statistics state lives on
+        # the now-unreachable device (device-stats or mesh mode), its
+        # contributions are recomputed on the host from a re-read of the
+        # input (_recover_device_stats); a non-re-readable stream input
+        # in that situation fail-louds instead (the reference's bar:
+        # error_exit, never an uncontrolled crash or hang, util.h:270).
         self.fetch_timeout = float(
             _os.environ.get("FASTPLONG_FETCH_TIMEOUT", "120"))
         self._fallback = False
-        self._watchdog = (self.fetch_timeout > 0 and self.host_stats_mode
-                          and self.placement is None)
+        self._watchdog = self.fetch_timeout > 0
+        # per-batch global read indices whose statistics live ONLY in the
+        # device-resident accumulator (appended at dispatch; consulted by
+        # the watchdog recovery) — device-stats modes only
+        self._dev_statted = []
         # async dispatch: h2d transfer + device step dispatch run on a
         # single dedicated thread (reference analog: the reader thread
         # hands packs off and keeps reading, seprocessor.cpp:331-429), so
@@ -202,18 +208,7 @@ class SingleEndRunner:
         self._disp_lock = threading.Lock()
         self._disp_sealed = False    # set by the watchdog fallback
         if self.host_stats_mode:
-            from .host_stats import BatchStatAccumulator
-            from .device import global_stat_len
-            # sized to the LARGEST non-monster bucket: spans up to that
-            # length are fed to the native pass (which also clamps)
-            SL = global_stat_len()
-            self._batch_pre = BatchStatAccumulator(SL)
-            self._batch_post = BatchStatAccumulator(SL)
-            # the pre-statRead pass runs on its own worker: it owns
-            # _batch_pre exclusively (post owns _batch_post on the main
-            # thread) and the native call releases the GIL, so the two
-            # passes genuinely overlap; pre_medians become futures
-            self._stats_pool = ThreadPoolExecutor(max_workers=1)
+            self._init_host_stats()
         self.out_writer = None
         self.failed_writer = None
         self.timer = StageTimer()
@@ -245,6 +240,23 @@ class SingleEndRunner:
             # backend init (1.5-4.5s through a tunnel) and must not block
             # the reader; prewarm tasks wait on it and no-op on CPU
             self._warm_gate = self._warm_pool.submit(self._platform_ok)
+
+    def _init_host_stats(self):
+        """Host-statistics accumulators + the pre-statRead worker.  Called
+        at init in host-stats mode, or mid-run when the watchdog fallback
+        abandons device-resident statistics state."""
+        from .host_stats import BatchStatAccumulator
+        from .device import global_stat_len
+        # sized to the LARGEST non-monster bucket: spans up to that
+        # length are fed to the native pass (which also clamps)
+        SL = global_stat_len()
+        self._batch_pre = BatchStatAccumulator(SL)
+        self._batch_post = BatchStatAccumulator(SL)
+        # the pre-statRead pass runs on its own worker: it owns
+        # _batch_pre exclusively (post owns _batch_post on the main
+        # thread) and the native call releases the GIL, so the two
+        # passes genuinely overlap; pre_medians become futures
+        self._stats_pool = ThreadPoolExecutor(max_workers=1)
 
     @staticmethod
     def _platform_ok():
@@ -442,7 +454,24 @@ class SingleEndRunner:
         timer.add("writer_close", time.perf_counter() - t0)
 
         t0 = time.perf_counter()
-        pre_parts, post_parts = self.device_stats.finish()
+        ds = self.device_stats
+        if (self._watchdog and not self._fallback and ds.state is not None
+                and ds.stat_batches):
+            # mesh mode drains its per-device stat partials here (single-
+            # device mode rode them along in the final combined drain):
+            # bound this last fetch too — a wedge at the finish line must
+            # not hang the run (the recovery recomputes everything)
+            fin = DaemonExecutor(1, "finish-drain")
+            fut = fin.submit(ds.finish)
+            try:
+                pre_parts, post_parts = fut.result(
+                    timeout=self.fetch_timeout)
+            except FuturesTimeout:
+                self._enter_fallback([], reason="statistics drain")
+                pre_parts, post_parts = ds.finish()
+            fin.shutdown(wait=not self._fallback)
+        else:
+            pre_parts, post_parts = ds.finish()
         for part in pre_parts:
             self.pre_stats.add_device_partial(part)
         for part in post_parts:
@@ -537,6 +566,13 @@ class SingleEndRunner:
             state, bs.outbuf = self.step(state, bs.outbuf, slot, xin,
                                          batch.L)
             self.device_stats.state = state
+            # record which reads this put into the device-resident
+            # accumulator: on a watchdog trip that state is unreachable
+            # and these contributions are recomputed host-side
+            # (_recover_device_stats; replayed batches are subtracted)
+            self._dev_statted.append(np.concatenate(
+                [seg.block.first_index + np.asarray(seg.indices, np.int64)
+                 for seg in batch.segments]))
             self.device_stats.note_batch(batch.L, int(batch.lens.max()))
         if not (self.host_stats_mode and not monster):
             batch.packed = None  # release the host-side feed buffer
@@ -741,17 +777,122 @@ class SingleEndRunner:
         batches = list(replay)
         for tags in tag_groups:
             for group in tags:
-                assert group != "stats", \
-                    "watchdog must not arm with device-resident stats"
+                if isinstance(group, str):
+                    # an in-flight statistics-state fetch: abandoned; its
+                    # content is recomputed by _recover_device_stats below
+                    continue
                 batches.extend(group)
         for bs in self.device_stats.buckets.values():
             pending, bs.pending = bs.pending, []
             batches.extend(pending)
+        # device-resident statistics state (device-stats or mesh mode) is
+        # now unreachable: discard every device-side contribution — the
+        # periodically-drained host partials included, so the recompute
+        # can't double-count — and flip to host-statistics mode for the
+        # rest of the run
+        self.device_stats.seal()
+        stats_recovery = bool(self._dev_statted)
+        if stats_recovery and not self.host_stats_mode:
+            in_path = ("/dev/stdin" if self.opt.input_from_stdin
+                       and not self.opt.in_file else self.opt.in_file)
+            if in_path == "/dev/stdin" or not _os.path.isfile(in_path):
+                from ..util import error_exit
+                error_exit(
+                    "device link stalled with statistics state resident "
+                    "on the unreachable device, and the input is a "
+                    "stream that cannot be re-read for recovery — rerun "
+                    "with --stats_backend host (stream-safe) or "
+                    "FASTPLONG_FETCH_TIMEOUT=0 to wait forever")
+            self._init_host_stats()
+            self.host_stats_mode = True
+        if self.host_stats_mode:
+            # replayed batches now take the host-statistics path: they
+            # need their packed feed (released at dispatch in device-
+            # stats mode) and a pre-statRead pass
+            for batch in batches:
+                if batch.L <= self.stat_cap:
+                    if batch.packed is None:
+                        batch.packed = self._rebuild_packed(batch)
+                    if batch.pre_medians is None:
+                        batch.pre_medians = self._stats_pool.submit(
+                            self._timed_pre_rows, batch)
         for batch in batches:
             self._consume_batch(self._cpu_rows(batch), batch)
+        if stats_recovery:
+            replay_ids = [
+                seg.block.first_index + np.asarray(seg.indices, np.int64)
+                for b in batches for seg in b.segments]
+            self._recover_device_stats(replay_ids)
         self.timer.add("fallback_recover", time.perf_counter() - t0,
                        len(batches))
         self._emit_ready()
+
+    def _recover_device_stats(self, replay_ids):
+        """Recompute, host-side, the statistics contributions that were
+        resident in the abandoned device accumulator: re-read the input
+        (deterministic block/index assignment), select exactly the reads
+        recorded in _dev_statted minus the ones the fallback replay just
+        re-statted, and run the host statRead passes over their recomputed
+        spans.  Reference analog: per-thread Stats merged at end
+        (seprocessor.cpp:108-121) — no state is ever unrecoverable."""
+        if not self._dev_statted:
+            return
+        t0 = time.perf_counter()
+        need = np.unique(np.concatenate(self._dev_statted))
+        self._dev_statted = []
+        if replay_ids:
+            need = np.setdiff1d(
+                need, np.concatenate(replay_ids), assume_unique=False)
+        if need.size == 0:
+            return
+        from .fast_runner import PackedResults
+        reader = FastqStreamReader(
+            self.opt.in_file, byte_range=getattr(self.opt, "byte_range",
+                                                 None))
+        max_id = int(need[-1])
+        builders = {}
+
+        def stat_one(b):
+            batch = b.take_batch()
+            batch.pre_medians = self._stats_pool.submit(
+                self._timed_pre_rows, batch)
+            rows = self._cpu_rows(batch)
+            out = PackedResults(rows, self.cap, len(self.stages))
+            batch.pre_medians = batch.pre_medians.result()
+            self._host_post_batch(out, batch)
+
+        n_rec = 0
+        while True:
+            block = reader.next_block()
+            if block is None or block.first_index > max_id:
+                break
+            a = np.searchsorted(need, block.first_index)
+            z = np.searchsorted(need, block.first_index + block.n)
+            if a == z:
+                continue
+            sel = need[a:z] - block.first_index
+            n_rec += len(sel)
+            for L, take in bucket_groups(block):
+                # monster buckets were host-statted from the start
+                if L > self.stat_cap:
+                    continue
+                take_needed = np.intersect1d(take, sel)
+                if not len(take_needed):
+                    continue
+                b = builders.setdefault(L, BatchBuilder(L))
+                pos = 0
+                while pos < len(take_needed):
+                    k = min(b.space, len(take_needed) - pos)
+                    b.add(block, take_needed[pos:pos + k])
+                    pos += k
+                    if b.full:
+                        stat_one(b)
+        for b in builders.values():
+            if b.count:
+                stat_one(b)
+        reader.close()
+        self.timer.add("fallback_stat_recover",
+                       time.perf_counter() - t0, n_rec)
 
     def _dispatch_fallback(self, batch):
         """Post-watchdog dispatch: compute the batch on the CPU backend

@@ -117,6 +117,88 @@ def test_fallback_monster_rebuild(tmp_path, monkeypatch):
     assert _read_json(json_a) == _read_json(json_b)
 
 
+def test_fallback_device_stats(tmp_path, monkeypatch):
+    """Bounded completion in --stats_backend device mode: the on-device
+    statistics accumulator is unreachable after the trip, so its
+    contributions must be recomputed host-side from a re-read of the
+    input (runner._recover_device_stats).  Byte-identical output AND
+    JSON (the JSON embeds every curve the device state carried).
+    DRAIN_EVERY=2 forces mid-run drains so the discard-drained-partials
+    path (no double count) is exercised too."""
+    from fastplong_tpu.pipeline import fast_runner
+    fq = write_random_fastq(str(tmp_path / "in.fq"), n_reads=300,
+                            min_len=30, max_len=900, seed=51,
+                            adapter_start="AATGTACTTCGTTCAGTTACGTATTGCT",
+                            adapter_prob=0.4, polya_prob=0.2)
+    args = ["-s", "AATGTACTTCGTTCAGTTACGTATTGCT", "-x", "-5",
+            "--stats_backend", "device"]
+    a = tmp_path / "a"
+    a.mkdir()
+    out_a, failed_a, json_a = run_ours(fq, str(a), args)
+
+    monkeypatch.setenv("FASTPLONG_FETCH_TIMEOUT", "0.3")
+    monkeypatch.setattr(fast_runner.DeviceStats, "DRAIN_EVERY", 2)
+    calls = _stuck_first_fetch(monkeypatch)
+    b = tmp_path / "b"
+    b.mkdir()
+    t0 = time.time()
+    out_b, failed_b, json_b = run_ours(fq, str(b), args)
+    assert time.time() - t0 < 120, "fallback did not bound completion"
+    assert calls["n"] >= 1
+    assert _read(out_a) == _read(out_b)
+    assert _read(failed_a) == _read(failed_b)
+    assert _read_json(json_a) == _read_json(json_b)
+
+
+def test_fallback_mesh_devices2(tmp_path, monkeypatch):
+    """Bounded completion under a 2-device mesh (per-device stat
+    partials on the unreachable devices): same recovery contract."""
+    fq = write_random_fastq(str(tmp_path / "in.fq"), n_reads=260,
+                            min_len=30, max_len=700, seed=57,
+                            adapter_start="AATGTACTTCGTTCAGTTACGTATTGCT",
+                            adapter_prob=0.3)
+    args = ["-s", "AATGTACTTCGTTCAGTTACGTATTGCT", "-3",
+            "--devices", "2", "--stats_backend", "device"]
+    a = tmp_path / "a"
+    a.mkdir()
+    out_a, failed_a, json_a = run_ours(fq, str(a), args)
+
+    monkeypatch.setenv("FASTPLONG_FETCH_TIMEOUT", "0.3")
+    _stuck_first_fetch(monkeypatch)
+    b = tmp_path / "b"
+    b.mkdir()
+    t0 = time.time()
+    out_b, failed_b, json_b = run_ours(fq, str(b), args)
+    assert time.time() - t0 < 180, "mesh fallback did not bound completion"
+    assert _read(out_a) == _read(out_b)
+    assert _read(failed_a) == _read(failed_b)
+    assert _read_json(json_a) == _read_json(json_b)
+
+
+def test_fallback_device_stats_stdin_fails_loud(tmp_path, monkeypatch):
+    """Stream input cannot be re-read for device-state recovery: the trip
+    must fail LOUD (error_exit with a diagnostic naming the fix), never
+    hang or crash uncontrolled — the reference bar (util.h:270-273)."""
+    import numpy as np
+    import pytest
+    from fastplong_tpu.pipeline.runner import SingleEndRunner
+    from fastplong_tpu.main import build_parser, options_from_args
+    fq = write_random_fastq(str(tmp_path / "in.fq"), n_reads=10,
+                            min_len=30, max_len=400, seed=61)
+    argv = ["fastplong", "-i", fq, "-o", str(tmp_path / "o.fq"),
+            "-s", "AATGTACTTCGTTCAGTTACGTATTGCT",
+            "--stats_backend", "device"]
+    args = build_parser().parse_args(argv[1:])
+    opt = options_from_args(args, argv)
+    opt.validate()
+    r = SingleEndRunner(opt)
+    # simulate: stats already on device, input turns out to be a stream
+    r._dev_statted.append(np.arange(4, dtype=np.int64))
+    opt.in_file = "/dev/stdin"
+    with pytest.raises(SystemExit):
+        r._enter_fallback([])
+
+
 def test_fallback_numpy_backend_parity(tmp_path, monkeypatch):
     """The rescue must complete byte-identically WITHOUT a JAX CPU
     backend (the round-3 bench TPU shipped none — jax.devices('cpu')
