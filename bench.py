@@ -150,13 +150,16 @@ def timed_run(in_fq, workdir, tag, devices=1, extra=()):
     t0 = time.time()
     runner = SingleEndRunner(opt)
     runner.timer.add("runner_init", time.time() - t0)
-    runner.run()
-    if runner._fallback:
-        # transparency: such a run measured host-CPU-backend throughput,
-        # not the device path (the link wedged and the watchdog rescued
-        # it); the orchestrator publishes the tags so the number can't
-        # masquerade as device throughput
-        FALLBACK_RUNS.append(tag)
+    try:
+        runner.run()
+    finally:
+        # transparency: a tripped run measured host throughput, not the
+        # device path (the link wedged and the watchdog rescued it); the
+        # flag is recorded the moment the trip is visible — in a finally,
+        # so even a rescue that later fails cannot hide it (round-3 weak
+        # #5: the crashed rescues were invisible in the JSON)
+        if runner._fallback:
+            FALLBACK_RUNS.append(tag)
     return time.time() - t0, runner
 
 
@@ -321,6 +324,17 @@ def main():
             merged.setdefault("error", "no_profile_completed")
             merged["value"] = 0.0
             merged["vs_baseline"] = 0.0
+        # capture integrity, unmissable at the top level (round-3 weak
+        # #1: five crashed children were only discoverable by reading
+        # *_error strings): how many profiles failed, and whether the
+        # headline value is a degraded stand-in
+        merged["profiles_failed"] = sum(
+            1 for k in merged if k.endswith("_error"))
+        merged["degraded"] = bool(
+            merged["profiles_failed"]
+            or merged.get("value_source") not in (None, "headline")
+            or merged.get("host_fallback")
+            or merged.get("host_fallback_runs"))
         merged.setdefault("metric", "bases_per_second_per_chip")
         merged.setdefault("unit", "bases/s")
         print(json.dumps(merged))

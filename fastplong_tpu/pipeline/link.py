@@ -1,0 +1,103 @@
+"""Interconnect-adaptive pipeline depths.
+
+The round-3 runner hard-coded its held-block watermarks, early-fetch
+trigger and d2h slice size to the development tunnel's pathologies (the
+first d2h degrades dispatch ~25x; transfers above ~16MB collapse).  On a
+directly-attached accelerator those depths are pure memory cost: deferring
+the first fetch behind ~160 held blocks (~1.3GB parsed input) buys nothing
+when d2h runs at PCIe speed.
+
+LinkPolicy picks between two profiles and adapts at runtime:
+
+  * selection: FASTPLONG_LINK=tunnel|fast pins a profile; otherwise the
+    device platform is sniffed (the axon plugin reports "axon" in
+    platform_version -> tunnel) — asynchronously when possible, so
+    backend init never blocks the reader; until known, the conservative
+    tunnel profile applies (deep watermarks are safe everywhere).
+  * adaptation: every real result fetch reports (bytes, seconds); an
+    EWMA of observed d2h bandwidth switches profiles when the link turns
+    out fast (>100 MB/s) or collapses (<8 MB/s).  Mid-run switches only
+    move WATERMARKS — correctness never depends on them.
+  * env pins (FASTPLONG_FLUSH_BLOCKS / FASTPLONG_MAX_BLOCKS /
+    FASTPLONG_EARLY_FETCH / FASTPLONG_FETCH_SLICE) override a knob in
+    every profile, as before.
+
+The reference analog is PACK_IN_MEM_LIMIT back-pressure (common.h:38,
+seprocessor.cpp:383-396) — a fixed constant there, because its "link"
+(shared memory) has no weather.
+"""
+
+import os
+import threading
+
+
+class LinkPolicy:
+    PROFILES = {
+        # deep watermarks: defer/batch d2h as long as host memory allows
+        # (each fetch pays a huge RTT; the FIRST one degrades dispatch)
+        "tunnel": dict(max_in_flight=3, flush_blocks=160,
+                       max_blocks_pending=192, early_fetch=6,
+                       fetch_slice=12 << 20),
+        # shallow watermarks: fetch eagerly, keep held-block memory small;
+        # no d2h slicing (the collapse-above-16MB pathology is tunnel-only)
+        "fast": dict(max_in_flight=3, flush_blocks=8,
+                     max_blocks_pending=24, early_fetch=2,
+                     fetch_slice=1 << 30),
+    }
+    FAST_MBPS = 100.0   # observed d2h above this -> fast profile
+    SLOW_MBPS = 8.0     # below this -> tunnel profile
+
+    def __init__(self, tunneled=None):
+        """tunneled: True/False when already known, None = resolve later
+        (set_tunneled) — the conservative tunnel profile applies until
+        then."""
+        self._lock = threading.Lock()
+        self._pins = {}
+        for env, attr in (("FASTPLONG_FLUSH_BLOCKS", "flush_blocks"),
+                          ("FASTPLONG_MAX_BLOCKS", "max_blocks_pending"),
+                          ("FASTPLONG_EARLY_FETCH", "early_fetch"),
+                          ("FASTPLONG_FETCH_SLICE", "fetch_slice")):
+            v = os.environ.get(env)
+            if v:
+                self._pins[attr] = int(v)
+        forced = os.environ.get("FASTPLONG_LINK", "")
+        self._forced = forced in self.PROFILES
+        self.tunneled = tunneled
+        self._ewma = None
+        if self._forced:
+            name = forced
+        elif tunneled is None:
+            name = "tunnel"
+        else:
+            name = "tunnel" if tunneled else "fast"
+        self._apply(name)
+
+    def _apply(self, name):
+        self.profile = name
+        for k, v in self.PROFILES[name].items():
+            setattr(self, k, v)
+        for k, v in self._pins.items():
+            setattr(self, k, v)
+
+    def set_tunneled(self, tunneled):
+        """Late platform sniff result (run on the prewarm pool so backend
+        init never blocks the reader)."""
+        with self._lock:
+            self.tunneled = bool(tunneled)
+            if self._forced or self._ewma is not None:
+                return  # a pin or real observation outranks the sniff
+            self._apply("tunnel" if tunneled else "fast")
+
+    def observe_fetch(self, nbytes, seconds):
+        """Adapt to observed d2h bandwidth (called from the fetcher
+        thread after each real result fetch)."""
+        if self._forced or seconds <= 0 or nbytes < (1 << 16):
+            return
+        mbps = nbytes / 1e6 / seconds
+        with self._lock:
+            self._ewma = (mbps if self._ewma is None
+                          else 0.5 * self._ewma + 0.5 * mbps)
+            if self._ewma > self.FAST_MBPS and self.profile != "fast":
+                self._apply("fast")
+            elif self._ewma < self.SLOW_MBPS and self.profile != "tunnel":
+                self._apply("tunnel")

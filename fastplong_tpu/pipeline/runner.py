@@ -66,14 +66,16 @@ _SLOT_FIELDS = ("out_lo", "out_hi", "out_tag", "region_no", "is_parent",
                 "mask_lo", "mask_hi", "code", "passed")
 
 
-def _fetch_np(arr):
-    """d2h with very-large transfers sliced — the link collapses above
-    ~16MB per transfer, so stay under it while minimizing fetch count."""
+def _fetch_np(arr, slice_bytes=12 << 20):
+    """d2h with very-large transfers sliced — tunneled links collapse
+    above ~16MB per transfer, so stay under the policy's slice size while
+    minimizing fetch count (fast links pass an effectively-unbounded
+    slice, LinkPolicy.fetch_slice)."""
     nbytes = arr.size * arr.dtype.itemsize
-    if nbytes <= (12 << 20):
+    if nbytes <= slice_bytes:
         return np.asarray(arr)
     flat = arr.reshape(-1)
-    step = (12 << 20) // arr.dtype.itemsize
+    step = slice_bytes // arr.dtype.itemsize
     out = np.concatenate([np.asarray(flat[i:i + step])
                           for i in range(0, flat.shape[0], step)])
     return out.reshape(arr.shape)
@@ -106,23 +108,20 @@ class BlockResults:
 
 
 class SingleEndRunner:
-    # pipeline depth knobs (class-level so stress tests can shrink them):
+    # pipeline depth overrides (class-level so stress tests can pin them);
+    # None = the probed/adaptive LinkPolicy decides (pipeline/link.py):
     # combined fetches allowed in flight; held-block low watermark (kick a
-    # background fetch) and high watermark (block until drained).  The
-    # watermarks are deliberately deep (~8MB parsed input per block): on
-    # this interconnect the FIRST d2h permanently degrades the process's
-    # dispatch latency ~25x, so deferring it as long as host memory allows
-    # keeps the whole dispatch phase in the fast mode — most inputs under
-    # ~1.5GB never fetch mid-run at all.
-    MAX_IN_FLIGHT = 3
-    FLUSH_BLOCKS = int(_os.environ.get("FASTPLONG_FLUSH_BLOCKS", 160))
-    MAX_BLOCKS_PENDING = int(_os.environ.get("FASTPLONG_MAX_BLOCKS", 192))
-    # kick the first combined fetch once this many batches are pending:
-    # the first d2h of a process pays a large one-time penalty on tunneled
-    # links, so starting it in the background while dispatch continues
-    # hides it (the d2h-channel warm-up below starts even earlier); it
-    # also spreads emit+write over the run instead of a serial tail
-    EARLY_FETCH_BATCHES = int(_os.environ.get("FASTPLONG_EARLY_FETCH", 6))
+    # background fetch) and high watermark (block until drained); batches
+    # pending before the first early fetch.  On tunneled interconnects
+    # the watermarks are deep (the FIRST d2h permanently degrades dispatch
+    # latency ~25x there, so deferring it as long as host memory allows
+    # keeps the whole dispatch phase fast); on direct-attached links they
+    # are shallow and fetches are eager.  Env pins (FASTPLONG_FLUSH_BLOCKS
+    # etc.) live in LinkPolicy.
+    MAX_IN_FLIGHT = None
+    FLUSH_BLOCKS = None
+    MAX_BLOCKS_PENDING = None
+    EARLY_FETCH_BATCHES = None
 
     def __init__(self, opt, mesh=None):
         self.opt = opt
@@ -164,20 +163,22 @@ class SingleEndRunner:
         # hosts with weak links (single-device only; the mesh path keeps
         # per-device partials).
         backend = getattr(opt, "stats_backend", "auto")
+        tunneled = None
         if backend == "auto":
             # host statRead wins when device results cross a weak tunneled
             # link (the stat accumulators are ~87% of fetched bytes);
             # device accumulators win on directly-attached hardware where
-            # d2h is PCIe and host CPU is the scarcer resource.  The axon
-            # tunnel's devices report platform "tpu" — the plugin name
-            # only shows in the client's platform_version string.
-            try:
-                ver = getattr(jax.devices()[0].client,
-                              "platform_version", "")
-            except Exception:
-                ver = ""
-            backend = "host" if "axon" in ver else "device"
+            # d2h is PCIe and host CPU is the scarcer resource.
+            tunneled = self._sniff_tunneled()
+            backend = "host" if tunneled else "device"
         self.host_stats_mode = backend == "host"
+        # interconnect policy: watermark depths / early-fetch / d2h slice
+        # come from the probed+adaptive LinkPolicy; when the platform is
+        # not known yet (forced stats backend: nothing has touched jax),
+        # the sniff runs on the prewarm pool below so backend init never
+        # blocks the reader
+        from .link import LinkPolicy
+        self.link = LinkPolicy(tunneled)
         # fetch watchdog: if a device->host result fetch stalls beyond
         # FASTPLONG_FETCH_TIMEOUT seconds (0 disables; the dev tunnel's
         # documented worst weather wedges d2h for tens of minutes), the
@@ -240,6 +241,12 @@ class SingleEndRunner:
             # backend init (1.5-4.5s through a tunnel) and must not block
             # the reader; prewarm tasks wait on it and no-op on CPU
             self._warm_gate = self._warm_pool.submit(self._platform_ok)
+        if tunneled is None:
+            if self._warm_pool is not None:
+                self._warm_pool.submit(
+                    lambda: self.link.set_tunneled(self._sniff_tunneled()))
+            else:
+                self.link.set_tunneled(self._sniff_tunneled())
 
     def _init_host_stats(self):
         """Host-statistics accumulators + the pre-statRead worker.  Called
@@ -264,6 +271,39 @@ class SingleEndRunner:
             return jax.devices()[0].platform != "cpu"
         except Exception:
             return False
+
+    @staticmethod
+    def _sniff_tunneled():
+        """True when the device is reached through a tunneled interconnect
+        (the axon plugin's devices report platform 'tpu'; the plugin name
+        only shows in the client's platform_version string)."""
+        try:
+            ver = getattr(jax.devices()[0].client, "platform_version", "")
+        except Exception:
+            ver = ""
+        return "axon" in ver
+
+    # ---- pipeline depth knobs: class-attr override (tests) else policy
+    def _kn_max_in_flight(self):
+        c = type(self).MAX_IN_FLIGHT
+        return c if c is not None else self.link.max_in_flight
+
+    def _kn_flush_blocks(self):
+        c = type(self).FLUSH_BLOCKS
+        v = c if c is not None else self.link.flush_blocks
+        # host-stats mode retains packed feeds (~2x the block's parsed
+        # bytes) until drain, so the same memory budget covers ~1/3 as
+        # many blocks
+        return max(2, v // 3) if self.host_stats_mode else v
+
+    def _kn_max_blocks_pending(self):
+        c = type(self).MAX_BLOCKS_PENDING
+        v = c if c is not None else self.link.max_blocks_pending
+        return max(3, v // 3) if self.host_stats_mode else v
+
+    def _kn_early_fetch(self):
+        c = type(self).EARLY_FETCH_BATCHES
+        return c if c is not None else self.link.early_fetch
 
     def _prewarm_bucket(self, L):
         """Load (compile-cache hit) the step executable for bucket L by
@@ -339,15 +379,6 @@ class SingleEndRunner:
         self._block_queue = []   # [block, BlockResults, outstanding_reads]
         self._in_flight = []     # (batches_of_group, future of [K,B,F])
         self._pending_batches = 0
-        self._max_in_flight = self.MAX_IN_FLIGHT
-        self._flush_blocks = self.FLUSH_BLOCKS
-        self._max_blocks_pending = self.MAX_BLOCKS_PENDING
-        if self.host_stats_mode:
-            # host mode retains each batch's packed buffer (~2x the block's
-            # parsed bytes) until drain for the post-stat pass, so the same
-            # memory budget covers ~1/3 as many blocks
-            self._flush_blocks = max(2, self._flush_blocks // 3)
-            self._max_blocks_pending = max(3, self._max_blocks_pending // 3)
         # a single fetch thread pulls results to host in the background so
         # d2h transfers overlap packing/dispatch on the main thread; daemon
         # worker so a fetch wedged in a dead tunnel (watchdog fired and
@@ -405,18 +436,20 @@ class SingleEndRunner:
             # held-block watermarks bound host memory while keeping d2h
             # round trips rare and big: at the LOW mark kick one combined
             # background fetch (overlaps further parsing); at the HIGH
-            # mark block until everything drains and emits
-            if (len(self._block_queue) >= self._flush_blocks
+            # mark block until everything drains and emits.  Read from
+            # the LinkPolicy each iteration — observed fetch bandwidth
+            # adapts the depths mid-run.
+            if (len(self._block_queue) >= self._kn_flush_blocks()
                     and not self._in_flight):
                 self._flush_pending_groups()
-            if len(self._block_queue) > self._max_blocks_pending:
+            if len(self._block_queue) > self._kn_max_blocks_pending():
                 while self._in_flight:
                     self._drain_one()
-                if len(self._block_queue) > self._max_blocks_pending:
+                if len(self._block_queue) > self._kn_max_blocks_pending():
                     self._flush_pending_groups()
                     while self._in_flight:
                         self._drain_one()
-                if len(self._block_queue) > self._max_blocks_pending:
+                if len(self._block_queue) > self._kn_max_blocks_pending():
                     # reads stuck in partially-filled builders (sparse
                     # length buckets) head-of-line-block the queue:
                     # dispatch the partial batches so their blocks can
@@ -525,9 +558,9 @@ class SingleEndRunner:
             # the scarce resource, not bytes)
             self._flush_pending_groups()
         elif (not self._in_flight
-              and self._pending_batches >= self.EARLY_FETCH_BATCHES):
+              and self._pending_batches >= self._kn_early_fetch()):
             self._flush_pending_groups()
-        while len(self._in_flight) > self._max_in_flight:
+        while len(self._in_flight) > self._kn_max_in_flight():
             self._drain_one()
 
     def _device_dispatch(self, batch):
@@ -689,13 +722,19 @@ class SingleEndRunner:
             return
         self.bytes_d2h += nbytes
 
+        slice_bytes = self.link.fetch_slice
+
         def fetch_all(parts):
             out = []
+            t0 = time.perf_counter()
             for p in parts:
                 if isinstance(p, tuple):
                     buf, kq, uq, K, B = p
                     p = buf if (kq >= K and uq >= B) else buf[:kq, :uq]
-                out.append(_fetch_np(p))
+                out.append(_fetch_np(p, slice_bytes))
+            # observed bandwidth feeds the adaptive policy (watermark
+            # depths + slice size for LATER flushes)
+            self.link.observe_fetch(nbytes, time.perf_counter() - t0)
             return out
 
         self._in_flight.append(

@@ -32,7 +32,7 @@ def _stuck_first_fetch(monkeypatch):
     calls = {"n": 0}
     gate = threading.Event()
 
-    def stuck(arr):
+    def stuck(arr, *_a):
         calls["n"] += 1
         gate.wait(timeout=300)  # daemon thread: abandoned, never set
         raise RuntimeError("stuck fetch unexpectedly resumed")

@@ -65,6 +65,41 @@ def test_pipeline_stress_tiny_queues(tmp_path, monkeypatch):
                    "--cut_front", "--cut_tail"])
 
 
+@pytest.mark.parametrize("profile", ["fast", "tunnel"])
+def test_link_profiles_byte_parity(tmp_path, monkeypatch, profile):
+    """Byte parity must hold under BOTH link profiles (eager shallow
+    fetching and deep deferred fetching) — the adaptive LinkPolicy only
+    ever moves watermarks, never correctness."""
+    monkeypatch.setenv("FASTPLONG_LINK", profile)
+    fq = write_random_fastq(str(tmp_path / "in.fq"), n_reads=350,
+                            min_len=30, max_len=800, seed=83,
+                            adapter_start="AATGTACTTCGTTCAGTTACGTATTGCT",
+                            adapter_prob=0.4)
+    assert_parity(fq, str(tmp_path),
+                  ["-s", "AATGTACTTCGTTCAGTTACGTATTGCT", "-x", "-3"])
+
+
+def test_link_policy_adaptation():
+    """Observed d2h bandwidth flips the profile both ways; env pins and
+    forced profiles outrank the sniff."""
+    from fastplong_tpu.pipeline.link import LinkPolicy
+    p = LinkPolicy(tunneled=True)
+    assert p.profile == "tunnel"
+    p.observe_fetch(1 << 26, 0.1)   # ~670 MB/s observed
+    assert p.profile == "fast"
+    for _ in range(8):
+        p.observe_fetch(1 << 20, 1.0)   # ~1 MB/s observed
+    assert p.profile == "tunnel"
+    # late sniff must not override a real observation
+    p.set_tunneled(False)
+    assert p.profile == "tunnel"
+    # unknown platform starts conservative, sniff resolves it
+    q = LinkPolicy(tunneled=None)
+    assert q.profile == "tunnel"
+    q.set_tunneled(False)
+    assert q.profile == "fast"
+
+
 def test_profile_flag_writes_trace(tmp_path):
     """--profile DIR captures a jax.profiler trace of the run."""
     from fastplong_tpu.main import main
