@@ -1,0 +1,352 @@
+"""Resident warm-process daemon: millisecond-class CLI starts on TPU.
+
+The reference binary starts in milliseconds (src/main.cpp:295-305); a
+fresh JAX process instead pays backend init (1.5-4.5s through a tunneled
+interconnect) plus one device program load per bucket shape (0.5-17s,
+weather-priced) before the first batch can run — for typical inputs that
+cold start dwarfs the processing itself.  The daemon amortizes it the way
+build daemons (Gradle/Bazel) and persistent compilation servers do:
+
+  * a per-user background process holds the initialized backend, the
+    loaded bucket executables, and the process-wide jit caches;
+  * `fastplong` CLI invocations with FASTPLONG_DAEMON=1 hand their argv
+    to the daemon over a unix socket and stream back rc + stderr; the
+    first invocation auto-spawns it;
+  * jobs run strictly sequentially in the daemon (one device, one
+    process-wide device queue — same serialization the one-shot CLI
+    has), chdir'd to the client's cwd, stderr captured per job;
+  * anything ineligible (stdin/stdout streaming, multi-host) or any
+    daemon failure falls back to running in-process — the daemon is an
+    accelerator, never a dependency;
+  * a code-version token (package file mtimes) is exchanged at connect:
+    a stale daemon is shut down and respawned rather than serving old
+    code; idle daemons exit after FASTPLONG_DAEMON_IDLE (default 1800s).
+
+Environment compatibility: FASTPLONG_*/JAX_*/XLA_* variables that are
+read at import time (packing geometry, ring depth) must match between
+client and daemon — on mismatch the client runs in-process.  Runtime-read
+variables (fetch timeout, link pins...) are applied per job.
+"""
+
+import json
+import os
+import socket
+import struct
+import sys
+import tempfile
+import time
+
+PROTO = 1
+
+# env vars baked in at import time: a daemon started under different
+# values would silently compute with the wrong geometry — reject instead
+_IMPORT_TIME_VARS = (
+    "FASTPLONG_TOKENS_PER_BATCH", "FASTPLONG_MAX_BATCH_READS",
+    "FASTPLONG_FETCH_GROUP", "FASTPLONG_EMIT_FALLBACK",
+    "FASTPLONG_PALLAS", "FASTPLONG_BUCKET_GROWTH", "FASTPLONG_BUCKET_MIN",
+    "JAX_PLATFORMS", "XLA_FLAGS", "JAX_COMPILATION_CACHE_DIR",
+)
+# runtime-read vars shipped with each job and applied for its duration
+_JOB_VARS_PREFIX = "FASTPLONG_"
+
+
+def _sock_dir():
+    d = os.environ.get("FASTPLONG_DAEMON_DIR") or os.path.join(
+        tempfile.gettempdir(), "fastplong_daemon_%d" % os.getuid())
+    try:
+        os.makedirs(d, mode=0o700, exist_ok=True)
+        os.chmod(d, 0o700)
+    except OSError:
+        pass
+    return d
+
+
+def sock_path():
+    return os.path.join(_sock_dir(), "daemon.sock")
+
+
+def code_token():
+    """Fingerprint of the package source (mtime+size of every .py/.so/
+    .cpp): a daemon serving stale code must be detected and replaced."""
+    import hashlib
+    root = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256()
+    for dirpath, _dirs, files in sorted(os.walk(root)):
+        if "__pycache__" in dirpath:
+            continue
+        for fn in sorted(files):
+            if not fn.endswith((".py", ".so", ".cpp")):
+                continue
+            p = os.path.join(dirpath, fn)
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue
+            h.update(("%s:%d:%d" % (p, st.st_mtime_ns, st.st_size))
+                     .encode())
+    return h.hexdigest()[:16]
+
+
+def _send_msg(conn, obj):
+    data = json.dumps(obj).encode()
+    conn.sendall(struct.pack("<I", len(data)) + data)
+
+
+def _recv_msg(conn):
+    hdr = b""
+    while len(hdr) < 4:
+        chunk = conn.recv(4 - len(hdr))
+        if not chunk:
+            return None
+        hdr += chunk
+    (n,) = struct.unpack("<I", hdr)
+    data = b""
+    while len(data) < n:
+        chunk = conn.recv(min(1 << 20, n - len(data)))
+        if not chunk:
+            return None
+        data += chunk
+    return json.loads(data.decode())
+
+
+# ------------------------------------------------------------------ server
+
+def _env_snapshot():
+    snap = {}
+    for k in _IMPORT_TIME_VARS:
+        snap[k] = os.environ.get(k, "")
+    return snap
+
+
+def _run_job(job):
+    """Execute one CLI job in-process; returns (rc, stderr_text)."""
+    import io
+    import contextlib
+    import traceback
+    cwd = job.get("cwd") or "."
+    try:
+        os.chdir(cwd)
+    except OSError as e:
+        return 66, "daemon: cannot chdir to %s: %s\n" % (cwd, e)
+    # apply the client's runtime-read env for this job
+    saved = {}
+    for k, v in (job.get("env") or {}).items():
+        if k.startswith(_JOB_VARS_PREFIX) and k not in _IMPORT_TIME_VARS:
+            saved[k] = os.environ.get(k)
+            os.environ[k] = v
+    buf = io.StringIO()
+    rc = 0
+    try:
+        with contextlib.redirect_stderr(buf):
+            from .main import main
+            rc = main(job["argv"]) or 0
+    except SystemExit as e:
+        rc = e.code if isinstance(e.code, int) else 1
+    except BaseException:
+        buf.write(traceback.format_exc())
+        rc = 70
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    return rc, buf.getvalue()
+
+
+def serve():
+    """Run the daemon server loop (blocking).  Exits quietly when the
+    socket is already owned by a live daemon."""
+    path = sock_path()
+    srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    try:
+        srv.bind(path)
+    except OSError:
+        # stale socket file or a live daemon; probe it
+        probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        try:
+            probe.connect(path)
+            probe.close()
+            return 0  # live daemon already serving
+        except OSError:
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+            srv.bind(path)
+    os.chmod(path, 0o600)
+    srv.listen(4)
+    # jobs must never re-enter the daemon client path
+    os.environ["FASTPLONG_DAEMON_CHILD"] = "1"
+    idle = float(os.environ.get("FASTPLONG_DAEMON_IDLE", "1800"))
+    srv.settimeout(min(idle, 60.0))
+    token = code_token()
+    env0 = _env_snapshot()
+    last = time.time()
+    try:
+        while True:
+            try:
+                conn, _ = srv.accept()
+            except socket.timeout:
+                if time.time() - last > idle:
+                    return 0
+                continue
+            last = time.time()
+            try:
+                _send_msg(conn, {"proto": PROTO, "token": token,
+                                 "pid": os.getpid()})
+                job = _recv_msg(conn)
+                if not job:
+                    continue
+                if job.get("cmd") == "shutdown":
+                    _send_msg(conn, {"ok": True})
+                    return 0
+                if job.get("cmd") == "ping":
+                    _send_msg(conn, {"ok": True})
+                    continue
+                bad = [k for k in _IMPORT_TIME_VARS
+                       if (job.get("env") or {}).get(k, "") != env0[k]]
+                if bad:
+                    _send_msg(conn, {"incompatible":
+                                     "env differs: %s" % ",".join(bad)})
+                    continue
+                rc, err = _run_job(job)
+                _send_msg(conn, {"rc": rc, "stderr": err})
+            except (OSError, ValueError):
+                pass  # client went away mid-job; keep serving
+            finally:
+                try:
+                    conn.close()
+                except OSError:
+                    pass
+    finally:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+
+
+# ------------------------------------------------------------------ client
+
+def _connect(timeout=5.0, hello_timeout=None):
+    c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    c.settimeout(timeout)
+    c.connect(sock_path())
+    # the hello arrives only when the (single-threaded) server accepts us,
+    # i.e. after any job ahead of us finishes — wait like a queued CLI
+    # would, the device is serialized either way
+    if hello_timeout is None:
+        hello_timeout = float(
+            os.environ.get("FASTPLONG_DAEMON_WAIT", "600"))
+    c.settimeout(hello_timeout)
+    hello = _recv_msg(c)
+    if not hello or hello.get("proto") != PROTO:
+        c.close()
+        raise OSError("bad daemon hello")
+    return c, hello
+
+
+def _spawn_daemon():
+    import subprocess
+    log = os.path.join(_sock_dir(), "daemon.log")
+    with open(log, "ab") as lf:
+        subprocess.Popen(
+            [sys.executable, "-m", "fastplong_tpu.daemon"],
+            stdout=lf, stderr=lf, stdin=subprocess.DEVNULL,
+            start_new_session=True,
+            cwd=os.getcwd(), env=dict(os.environ))
+
+
+def _job_env():
+    env = {}
+    for k, v in os.environ.items():
+        if k.startswith(_JOB_VARS_PREFIX):
+            env[k] = v
+    for k in _IMPORT_TIME_VARS:
+        env[k] = os.environ.get(k, "")
+    return env
+
+
+def eligible(argv):
+    """Daemon-eligible CLI invocations: no stdin/stdout streaming (the
+    daemon cannot see the client's pipes), no multi-host role."""
+    skip_next = False
+    for a in argv[1:]:
+        if skip_next:
+            skip_next = False
+            continue
+        if a in ("--stdin", "--stdout"):
+            return False
+        if a == "--num_hosts":
+            return False
+        if a.startswith("--num_hosts="):
+            return False
+    return True
+
+
+def run_via_daemon(argv, spawn_wait=20.0):
+    """Run one CLI job through the daemon; returns rc, or None when the
+    daemon path is unavailable (caller runs in-process)."""
+    token = code_token()
+    deadline = time.time() + spawn_wait
+    spawned = False
+    while True:
+        try:
+            conn, hello = _connect()
+        except OSError:
+            if not spawned:
+                _spawn_daemon()
+                spawned = True
+            if time.time() > deadline:
+                return None
+            time.sleep(0.1)
+            continue
+        if hello.get("token") != token:
+            # stale daemon: ask it to exit, respawn fresh
+            try:
+                _send_msg(conn, {"cmd": "shutdown"})
+                _recv_msg(conn)
+            except OSError:
+                pass
+            conn.close()
+            if time.time() > deadline:
+                return None
+            if not spawned:
+                _spawn_daemon()
+                spawned = True
+            time.sleep(0.2)
+            continue
+        try:
+            conn.settimeout(None)  # jobs are unbounded
+            _send_msg(conn, {"argv": list(argv), "cwd": os.getcwd(),
+                             "env": _job_env()})
+            resp = _recv_msg(conn)
+        except OSError:
+            return None
+        finally:
+            conn.close()
+        if not resp or "rc" not in resp:
+            return None  # incompatible env or protocol trouble
+        if resp.get("stderr"):
+            sys.stderr.write(resp["stderr"])
+        return int(resp["rc"])
+
+
+def shutdown_daemon():
+    """Ask a running daemon to exit (tests, code upgrades); True if one
+    acknowledged."""
+    try:
+        conn, _hello = _connect(timeout=2.0, hello_timeout=30.0)
+    except OSError:
+        return False
+    try:
+        _send_msg(conn, {"cmd": "shutdown"})
+        return bool(_recv_msg(conn))
+    except OSError:
+        return False
+    finally:
+        conn.close()
+
+
+if __name__ == "__main__":
+    sys.exit(serve())

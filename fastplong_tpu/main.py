@@ -337,19 +337,38 @@ def options_from_args(args, argv):
 
 
 def main(argv=None):
+    import os as _os
+    if argv is None:
+        argv = sys.argv
+    # warm-daemon path (opt-in, BEFORE anything touches jax — the client
+    # must stay import-light): hand the job to the resident process,
+    # where backend init + device program loads are already paid, so the
+    # CLI approaches the reference binary's millisecond-class start
+    # (main.cpp:295-305).  Any daemon trouble falls back to in-process.
+    if (_os.environ.get("FASTPLONG_DAEMON") == "1"
+            and _os.environ.get("FASTPLONG_DAEMON_CHILD") != "1"
+            and len(argv) > 1):
+        from . import daemon
+        if daemon.eligible(argv):
+            rc = daemon.run_via_daemon(argv)
+            if rc is not None:
+                return rc
+            sys.stderr.write("fastplong: daemon unavailable, "
+                             "running in-process\n")
     # honor JAX_PLATFORMS even under plugins that ignore the env var (the
     # axon TPU plugin claims the process regardless); must happen before
-    # the first backend initialization
-    import os as _os
+    # the first backend initialization.  jax_platforms is an EXCLUSIVE
+    # list — keep "cpu" registered (first entry stays the default
+    # platform) so the watchdog fallback's preferred backend exists.
     _plat = _os.environ.get("JAX_PLATFORMS", "")
     if _plat:
         import jax as _jax
         try:
-            _jax.config.update("jax_platforms", _plat)
+            _cfg = (_plat if "cpu" in _plat.split(",")
+                    else _plat + ",cpu")
+            _jax.config.update("jax_platforms", _cfg)
         except Exception:
             pass
-    if argv is None:
-        argv = sys.argv
     if len(argv) == 1:
         sys.stderr.write(
             "fastplong: ultra-fast FASTQ preprocessing and quality control "
