@@ -104,7 +104,7 @@ class Segment:
 
 class Batch:
     __slots__ = ("packed", "lens", "read_mask", "segments", "L", "layout",
-                 "pre_medians", "_queued")
+                 "pre_medians", "_queued", "full_rows")
 
     def __init__(self, packed, lens, read_mask, segments, L, layout="b5"):
         self.packed = packed        # [B, L+8] (base5) or [B, 2L+8] (wide)
@@ -116,6 +116,8 @@ class Batch:
         self.pre_medians = None     # host-stats mode: per-row median bytes
         self._queued = False        # set with the bs.pending append
                                     # (runner._device_dispatch, under lock)
+        self.full_rows = packed.shape[0]  # bucket ring row count (a
+                                    # partial batch may be row-trimmed)
 
 
 class BatchBuilder:
@@ -237,6 +239,7 @@ class BatchBuilder:
     def take_batch(self):
         b = Batch(self.packed, self.lens, self.read_mask, self.segments,
                   self.L, self.layout)
+        b.full_rows = self.rows
         self._reset()
         return b
 

@@ -34,15 +34,21 @@ import threading
 class LinkPolicy:
     PROFILES = {
         # deep watermarks: defer/batch d2h as long as host memory allows
-        # (each fetch pays a huge RTT; the FIRST one degrades dispatch)
+        # (each fetch pays a huge RTT; the FIRST one degrades dispatch).
+        # Partial batches dispatch at the bucket's full padded row count:
+        # every extra (L, rows) shape costs a 0.5-17s device program load
+        # through a tunnel, which dwarfs the padded compute it would save.
         "tunnel": dict(max_in_flight=3, flush_blocks=160,
                        max_blocks_pending=192, early_fetch=6,
-                       fetch_slice=12 << 20),
+                       fetch_slice=12 << 20, trim_partials=False),
         # shallow watermarks: fetch eagerly, keep held-block memory small;
-        # no d2h slicing (the collapse-above-16MB pathology is tunnel-only)
+        # no d2h slicing (the collapse-above-16MB pathology is tunnel-
+        # only).  Partial batches are row-trimmed to a quantized prefix:
+        # padded compute is the scarce resource here, extra shapes are
+        # cheap (persistent compile cache, local program loads).
         "fast": dict(max_in_flight=3, flush_blocks=8,
                      max_blocks_pending=24, early_fetch=2,
-                     fetch_slice=1 << 30),
+                     fetch_slice=1 << 30, trim_partials=True),
     }
     FAST_MBPS = 100.0   # observed d2h above this -> fast profile
     SLOW_MBPS = 8.0     # below this -> tunnel profile

@@ -533,9 +533,34 @@ class SingleEndRunner:
 
     # ---------------------------------------------------------------- block
 
+    def _maybe_trim_partial(self, batch):
+        """Row-trim a partially-filled batch to a quantized prefix (fast
+        links only): the step otherwise computes the bucket's FULL padded
+        rows, which dominates small runs and EOF tails — measured on the
+        CPU backend, untrimmed EOF partials tripled the work of a
+        16-Mbase input.  Not on tunnels: every new (L, rows) shape costs
+        a 0.5-17s device program load there (LinkPolicy.trim_partials)."""
+        if not self.link.trim_partials:
+            return
+        n = int(batch.read_mask.sum())
+        full = batch.packed.shape[0]
+        q = 64
+        while q < n:
+            q *= 2
+        if self.placement is not None and batch.L <= self.stat_cap:
+            ns = self.placement.n
+            q = ((q + ns - 1) // ns) * ns
+        if q >= full:
+            return
+        batch.packed = batch.packed[:q]
+        batch.lens = batch.lens[:q]
+        batch.read_mask = batch.read_mask[:q]
+
     def _dispatch(self, batch):
         if self._fallback:
+            self._maybe_trim_partial(batch)
             return self._dispatch_fallback(batch)
+        self._maybe_trim_partial(batch)
         t0 = time.perf_counter()
         monster = batch.L > self.stat_cap
         self.bytes_h2d += batch.packed.nbytes
@@ -576,7 +601,7 @@ class SingleEndRunner:
         monster = batch.L > self.stat_cap
         nostats = monster or self.host_stats_mode
         sharded = self.placement is not None and not monster
-        bs = self.device_stats.bucket(batch.L, batch.packed.shape[0],
+        bs = self.device_stats.bucket(batch.L, batch.full_rows,
                                       self.n_fields, with_stats=not nostats,
                                       sharded=sharded)
         slot = np.int32(len(bs.pending))
@@ -1003,15 +1028,20 @@ class SingleEndRunner:
         for seg in batch.segments:
             assert b.count == seg.row_start, "segment rows not a prefix"
             b.add(seg.block, seg.indices)
-        assert b.packed.shape[0] == len(batch.lens), \
+        assert b.packed.shape[0] >= len(batch.lens), \
             "rebuilt batch geometry diverged"
-        return b.packed
+        return b.packed[:len(batch.lens)]  # row-trimmed partials
 
     def _consume_batch(self, rows, batch):
         """Decode one batch's packed rows and route the results."""
         if batch.pre_medians is not None and not isinstance(
                 batch.pre_medians, np.ndarray):
             batch.pre_medians = batch.pre_medians.result()  # stats worker
+        if rows.shape[0] > len(batch.lens):
+            # the ring slice is sized by the LARGEST batch in the flush;
+            # a row-trimmed partial batch only owns a prefix of it (rows
+            # beyond are stale bytes from other batches in the slot)
+            rows = rows[:len(batch.lens)]
         if rows.shape[0] < len(batch.lens):
             # row-trimmed drain (partial batch): used rows are a contiguous
             # prefix, so the batch-side arrays narrow to match — everything
