@@ -20,8 +20,10 @@ Reads are grouped by length bucket so padding stays bounded, and batch
 shapes are canonical — one (B, L) pair per bucket — because every new
 shape costs an XLA compile AND an executable load onto the device (seconds
 each through a tunneled interconnect; see runner prewarm).  Bucket growth
-is 4x by default: fewer shapes beat less padding when h2d runs at GB/s
-but each first-call-per-shape costs seconds.
+is 2x by default (round 4): padded h2d bytes are a first-order cost on
+weak links (4x growth measured 2.28 bytes/base and made the warm
+pipeline link-bound), while the extra shapes load concurrently on the
+prewarm pool and amortize entirely under the warm daemon.
 
 BatchBuilder accumulates reads ACROSS RecordBlocks until a batch is full,
 so partially-filled batches only occur at end of input; the runner tracks
@@ -35,8 +37,13 @@ from ..common import TOKENS_PER_BATCH, MAX_BATCH_READS
 import os as _os
 
 # length buckets: geometric from FASTPLONG_BUCKET_MIN with integer growth
-# FASTPLONG_BUCKET_GROWTH (4 = fewest compiled shapes, 2 = least padding)
-_GROWTH = max(2, int(_os.environ.get("FASTPLONG_BUCKET_GROWTH", "4")))
+# FASTPLONG_BUCKET_GROWTH (4 = fewest compiled shapes, 2 = least padding).
+# Default 2 since round 4: measured on the tunnel, 4x growth padded the
+# h2d feed to 2.28 bytes/base and made the warm pipeline LINK-bound
+# (BENCH_r04); with the warm daemon amortizing per-shape program loads
+# and the prewarm pool loading buckets concurrently, halving the padding
+# beats halving the shape count.
+_GROWTH = max(2, int(_os.environ.get("FASTPLONG_BUCKET_GROWTH", "2")))
 _MIN = max(64, int(_os.environ.get("FASTPLONG_BUCKET_MIN", "1024")))
 _BUCKETS = []
 _b = _MIN

@@ -38,17 +38,24 @@ class LinkPolicy:
         # Partial batches dispatch at the bucket's full padded row count:
         # every extra (L, rows) shape costs a 0.5-17s device program load
         # through a tunnel, which dwarfs the padded compute it would save.
+        # early_fetch_bytes ~1GB = defer the FIRST d2h to EOF for any
+        # input the held-block watermark can absorb: measured (round 4),
+        # pre-first-d2h h2d runs at ~1.8 GB/s and collapses to ~27-38
+        # MB/s after it, so keeping the whole dispatch phase in fast
+        # mode beats overlapping the drain (hot 13.4 vs 6.3 Mbases/s)
         "tunnel": dict(max_in_flight=3, flush_blocks=160,
-                       max_blocks_pending=192, early_fetch=6,
-                       fetch_slice=12 << 20, trim_partials=False),
+                       max_blocks_pending=192, early_fetch_bytes=1 << 30,
+                       fetch_slice=12 << 20, trim_partials=False,
+                       eager_drain=False),
         # shallow watermarks: fetch eagerly, keep held-block memory small;
         # no d2h slicing (the collapse-above-16MB pathology is tunnel-
         # only).  Partial batches are row-trimmed to a quantized prefix:
         # padded compute is the scarce resource here, extra shapes are
         # cheap (persistent compile cache, local program loads).
         "fast": dict(max_in_flight=3, flush_blocks=8,
-                     max_blocks_pending=24, early_fetch=2,
-                     fetch_slice=1 << 30, trim_partials=True),
+                     max_blocks_pending=24, early_fetch_bytes=8 << 20,
+                     fetch_slice=1 << 30, trim_partials=True,
+                     eager_drain=True),
     }
     FAST_MBPS = 100.0   # observed d2h above this -> fast profile
     SLOW_MBPS = 8.0     # below this -> tunnel profile
@@ -61,15 +68,27 @@ class LinkPolicy:
         self._pins = {}
         for env, attr in (("FASTPLONG_FLUSH_BLOCKS", "flush_blocks"),
                           ("FASTPLONG_MAX_BLOCKS", "max_blocks_pending"),
-                          ("FASTPLONG_EARLY_FETCH", "early_fetch"),
+                          ("FASTPLONG_EARLY_FETCH_MB", "early_fetch_mb"),
                           ("FASTPLONG_FETCH_SLICE", "fetch_slice")):
             v = os.environ.get(env)
             if v:
-                self._pins[attr] = int(v)
+                if attr == "early_fetch_mb":
+                    self._pins["early_fetch_bytes"] = int(v) << 20
+                else:
+                    self._pins[attr] = int(v)
+        tp = os.environ.get("FASTPLONG_TRIM_PARTIALS", "")
+        if tp in ("0", "1"):
+            self._pins["trim_partials"] = tp == "1"
+        elif os.environ.get("FASTPLONG_DAEMON_CHILD") == "1":
+            # daemon-resident process: extra (L, rows) shapes amortize
+            # across jobs, so padded partial rows are pure link cost even
+            # on a tunnel — trim them
+            self._pins["trim_partials"] = True
         forced = os.environ.get("FASTPLONG_LINK", "")
         self._forced = forced in self.PROFILES
         self.tunneled = tunneled
         self._ewma = None
+        self._loads = []   # observed device program-load seconds
         if self._forced:
             name = forced
         elif tunneled is None:
@@ -93,6 +112,26 @@ class LinkPolicy:
             if self._forced or self._ewma is not None:
                 return  # a pin or real observation outranks the sniff
             self._apply("tunnel" if tunneled else "fast")
+
+    def observe_load(self, seconds):
+        """Record one observed device program-load time (the prewarm pool
+        reports them); drives partial_trim_ok below."""
+        with self._lock:
+            self._loads.append(seconds)
+
+    def partial_trim_ok(self):
+        """Should partially-filled batches be row-trimmed?  Trimming
+        saves padded h2d bytes but mints extra (L, rows) shapes, each
+        costing a device program load on first use.  Pins (incl. the
+        daemon-resident pin — shapes amortize across jobs there) and the
+        fast profile say yes; the bare tunnel profile says no — the
+        deferred-first-fetch schedule keeps its dispatch phase at full
+        h2d speed, so padded bytes are cheap but every on-demand load
+        stalls the dispatcher."""
+        v = self._pins.get("trim_partials")
+        if v is not None:
+            return v
+        return self.trim_partials
 
     def observe_fetch(self, nbytes, seconds):
         """Adapt to observed d2h bandwidth (called from the fetcher

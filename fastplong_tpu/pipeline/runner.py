@@ -121,7 +121,7 @@ class SingleEndRunner:
     MAX_IN_FLIGHT = None
     FLUSH_BLOCKS = None
     MAX_BLOCKS_PENDING = None
-    EARLY_FETCH_BATCHES = None
+    EARLY_FETCH_BYTES = None
 
     def __init__(self, opt, mesh=None):
         self.opt = opt
@@ -191,8 +191,12 @@ class SingleEndRunner:
         # input (_recover_device_stats); a non-re-readable stream input
         # in that situation fail-louds instead (the reference's bar:
         # error_exit, never an uncontrolled crash or hang, util.h:270).
+        # 300s default: a COLD first fetch can legitimately sit behind
+        # several 3-17s program loads plus a degraded-mode transfer (the
+        # round-4 bench saw a healthy 176s cold pass tripped at 120s);
+        # a real wedge still resolves in bounded time
         self.fetch_timeout = float(
-            _os.environ.get("FASTPLONG_FETCH_TIMEOUT", "120"))
+            _os.environ.get("FASTPLONG_FETCH_TIMEOUT", "300"))
         self._fallback = False
         self._watchdog = self.fetch_timeout > 0
         # per-batch global read indices whose statistics live ONLY in the
@@ -301,9 +305,9 @@ class SingleEndRunner:
         v = c if c is not None else self.link.max_blocks_pending
         return max(3, v // 3) if self.host_stats_mode else v
 
-    def _kn_early_fetch(self):
-        c = type(self).EARLY_FETCH_BATCHES
-        return c if c is not None else self.link.early_fetch
+    def _kn_early_fetch_bytes(self):
+        c = type(self).EARLY_FETCH_BYTES
+        return c if c is not None else self.link.early_fetch_bytes
 
     def _prewarm_bucket(self, L):
         """Load (compile-cache hit) the step executable for bucket L by
@@ -329,7 +333,9 @@ class SingleEndRunner:
                 state = init_stats_state(global_stat_len())
                 r = self.step(state, outbuf, np.int32(0), packed, L)
             jax.block_until_ready(r)
-            self.load_seconds[L] = round(time.perf_counter() - t0, 3)
+            dt = time.perf_counter() - t0
+            self.load_seconds[L] = round(dt, 3)
+            self.link.observe_load(dt)
         except Exception:
             pass
 
@@ -379,6 +385,7 @@ class SingleEndRunner:
         self._block_queue = []   # [block, BlockResults, outstanding_reads]
         self._in_flight = []     # (batches_of_group, future of [K,B,F])
         self._pending_batches = 0
+        self._pending_feed_bytes = 0
         # a single fetch thread pulls results to host in the background so
         # d2h transfers overlap packing/dispatch on the main thread; daemon
         # worker so a fetch wedged in a dead tunnel (watchdog fired and
@@ -433,6 +440,19 @@ class SingleEndRunner:
                     pos += k
                     if b.full:
                         self._dispatch(b.take_batch())
+            # opportunistic drain (fast links only): a completed
+            # background fetch is consumed NOW (non-blocking) so
+            # accumulate/emit/writes stream through the run — otherwise a
+            # single in-flight group can sit fetched-but-unconsumed until
+            # EOF and the whole output bunches into writer_close
+            # (observed: 4s of serial disk writes at close on a 128MB
+            # output).  NOT on tunnels: repeated early d2h flips the
+            # process into the degraded-dispatch mode (~30ms/op, ~3MB/s
+            # effective h2d — measured 37s of dispatch_wait vs 0.1s)
+            while (self.link.eager_drain and self._in_flight
+                   and self._in_flight[0][1][-1].done()
+                   and not self._fallback):
+                self._drain_one()
             # held-block watermarks bound host memory while keeping d2h
             # round trips rare and big: at the LOW mark kick one combined
             # background fetch (overlaps further parsing); at the HIGH
@@ -540,7 +560,7 @@ class SingleEndRunner:
         CPU backend, untrimmed EOF partials tripled the work of a
         16-Mbase input.  Not on tunnels: every new (L, rows) shape costs
         a 0.5-17s device program load there (LinkPolicy.trim_partials)."""
-        if not self.link.trim_partials:
+        if not self.link.partial_trim_ok():
             return
         n = int(batch.read_mask.sum())
         full = batch.packed.shape[0]
@@ -574,6 +594,7 @@ class SingleEndRunner:
         self._disp_futs.append(
             (self._dispatcher.submit(self._device_dispatch, batch), batch))
         self._pending_batches += 1
+        self._pending_feed_bytes += batch.packed.nbytes
         k = self._bucket_submits.get(batch.L, 0) + 1
         self._bucket_submits[batch.L] = k
         self.timer.add("dispatch_submit", time.perf_counter() - t0)
@@ -583,7 +604,11 @@ class SingleEndRunner:
             # the scarce resource, not bytes)
             self._flush_pending_groups()
         elif (not self._in_flight
-              and self._pending_batches >= self._kn_early_fetch()):
+              and self._pending_feed_bytes >= self._kn_early_fetch_bytes()):
+            # byte-based trigger: the first d2h flips a tunneled process
+            # into its degraded-dispatch mode, so it is deferred until a
+            # fixed VOLUME has dispatched (not a batch count — smaller
+            # buckets would fire it early and extend the degraded phase)
             self._flush_pending_groups()
         while len(self._in_flight) > self._kn_max_in_flight():
             self._drain_one()
@@ -743,54 +768,59 @@ class SingleEndRunner:
             ds.state = None
             ds.stat_batches = 0
         self._pending_batches = 0
+        self._pending_feed_bytes = 0
         if not groups:
             return
         self.bytes_d2h += nbytes
 
         slice_bytes = self.link.fetch_slice
 
-        def fetch_all(parts):
-            out = []
+        def fetch_one(p):
             t0 = time.perf_counter()
-            for p in parts:
-                if isinstance(p, tuple):
-                    buf, kq, uq, K, B = p
-                    p = buf if (kq >= K and uq >= B) else buf[:kq, :uq]
-                out.append(_fetch_np(p, slice_bytes))
+            if isinstance(p, tuple):
+                buf, kq, uq, K, B = p
+                p = buf if (kq >= K and uq >= B) else buf[:kq, :uq]
+            out = _fetch_np(p, slice_bytes)
             # observed bandwidth feeds the adaptive policy (watermark
             # depths + slice size for LATER flushes)
-            self.link.observe_fetch(nbytes, time.perf_counter() - t0)
+            self.link.observe_fetch(out.nbytes, time.perf_counter() - t0)
             return out
 
+        # ONE FUTURE PER PART on the single fetcher worker: the drain
+        # consumes part k (accumulate + emit + enqueue writes) while
+        # part k+1 transfers — the EOF tail streams instead of
+        # serializing fetch-everything -> emit-everything -> write
         self._in_flight.append(
             ([g[0] for g in groups],
-             self._fetcher.submit(fetch_all, [g[1] for g in groups])))
+             [self._fetcher.submit(fetch_one, g[1]) for g in groups]))
         self.timer.add("flush", time.perf_counter() - t_flush0)
 
     def _drain_one(self):
-        tags, fut = self._in_flight.pop(0)
-        t0 = time.perf_counter()
-        try:
-            arrs = fut.result(timeout=self.fetch_timeout
-                              if self._watchdog else None)
-        except FuturesTimeout:
+        tags, futs = self._in_flight.pop(0)
+        for i, (batches, fut) in enumerate(zip(tags, futs)):
+            t0 = time.perf_counter()
+            try:
+                group = fut.result(timeout=self.fetch_timeout
+                                   if self._watchdog else None)
+            except FuturesTimeout:
+                self.timer.add("fetch_wait", time.perf_counter() - t0)
+                self._enter_fallback(
+                    [tags[i:]] + [t for t, _ in self._in_flight])
+                return
             self.timer.add("fetch_wait", time.perf_counter() - t0)
-            self._enter_fallback(
-                [tags] + [t for t, _ in self._in_flight])
-            return
-        self.timer.add("fetch_wait", time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        for batches, group in zip(tags, arrs):
-            if batches == "stats":
+            t0 = time.perf_counter()
+            if isinstance(batches, str):   # "stats"
                 self.device_stats.consume_flat(group.astype(np.int64))
+                self.timer.add("accumulate", time.perf_counter() - t0)
                 continue
             # the ring slice may carry quantized extra slots/rows beyond
             # the pending batches — iterate only the real ones; stale rows
             # within a slot are masked out by each batch's read_mask
             for j, batch in enumerate(batches):
                 self._consume_batch(group[j], batch)
-        self.timer.add("accumulate", time.perf_counter() - t0)
-        self._emit_ready()
+            self.timer.add("accumulate", time.perf_counter() - t0)
+            # emit per part: writes stream while the NEXT part transfers
+            self._emit_ready()
 
     def _emit_ready(self):
         """Emit completed blocks from the head (input order)."""
@@ -814,6 +844,7 @@ class SingleEndRunner:
         self._fallback = True
         self._in_flight = []
         self._pending_batches = 0
+        self._pending_feed_bytes = 0
         sys.stderr.write(
             "WARNING: %s stalled > %.0fs — "
             "recomputing on the host (set "
