@@ -154,6 +154,185 @@ def _run_job(job):
     return rc, buf.getvalue()
 
 
+def _prefork_mode():
+    """Prefork (single-use pre-warmed worker per job) vs resident (jobs
+    run in the daemon process).
+
+    Tunneled interconnects permanently degrade a process after its first
+    d2h (~30ms/op dispatch, h2d 1.8 GB/s -> ~30 MB/s measured), so a
+    resident daemon would run every job after the first in the degraded
+    regime.  A pristine worker per job keeps the whole dispatch phase in
+    fast mode; the NEXT worker spawns (backend init + executable loads +
+    a pre-trace of the last job's config) while the daemon is idle, so
+    clients never wait for it.  On direct-attached hardware the resident
+    mode's warm jit caches win.  FASTPLONG_DAEMON_MODE=resident|prefork
+    overrides the env sniff."""
+    mode = os.environ.get("FASTPLONG_DAEMON_MODE", "")
+    if mode in ("resident", "prefork"):
+        return mode == "prefork"
+    return ("axon" in os.environ.get("JAX_PLATFORMS", "")
+            or bool(os.environ.get("PALLAS_AXON_POOL_IPS")))
+
+
+class _WorkerPool:
+    """One pre-spawned single-use worker; replaced after each job."""
+
+    def __init__(self):
+        self.proc = None
+        self.path = None
+
+    def spawn(self, prewarm_argv=None):
+        import subprocess
+        import uuid
+        self.path = os.path.join(_sock_dir(),
+                                 "worker-%s.sock" % uuid.uuid4().hex[:8])
+        cmd = [sys.executable, "-m", "fastplong_tpu.daemon",
+               "--worker", self.path]
+        if prewarm_argv:
+            cmd += ["--prewarm", json.dumps(prewarm_argv)]
+        log = os.path.join(_sock_dir(), "worker.log")
+        with open(log, "ab") as lf:
+            self.proc = subprocess.Popen(
+                cmd, stdout=lf, stderr=lf,
+                stdin=subprocess.DEVNULL, env=dict(os.environ),
+                cwd=os.getcwd())
+
+    def connect(self, deadline=90.0):
+        """Connect to the worker's socket (binds early; accepts when its
+        init/prewarm is done)."""
+        end = time.time() + deadline
+        while True:
+            c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            try:
+                c.connect(self.path)
+                c.settimeout(None)
+                return c
+            except OSError:
+                c.close()
+                if self.proc.poll() is not None or time.time() > end:
+                    return None
+                time.sleep(0.05)
+
+    def run_job(self, job):
+        """Forward one job; returns the reply dict or None. The worker
+        exits afterwards."""
+        c = self.connect()
+        if c is None:
+            return None
+        try:
+            _send_msg(c, job)
+            return _recv_msg(c)
+        except OSError:
+            return None
+        finally:
+            c.close()
+            try:
+                self.proc.wait(timeout=10)
+            except Exception:
+                self.proc.terminate()
+
+    def kill(self):
+        if self.proc is not None and self.proc.poll() is None:
+            self.proc.terminate()
+        if self.path:
+            try:
+                os.unlink(self.path)
+            except OSError:
+                pass
+
+
+def worker_serve(path, prewarm_argv=None):
+    """Single-use job worker: bind the socket FIRST (the broker can
+    connect/send immediately; recv blocks until we're ready), then init
+    the backend and pre-trace/pre-load the last job's config, then
+    accept exactly one job, run it, reply, exit."""
+    os.environ["FASTPLONG_DAEMON_CHILD"] = "1"
+    srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    srv.bind(path)
+    srv.listen(1)
+    try:
+        try:
+            import jax
+            jax.devices()   # backend init, off any job's clock
+            if prewarm_argv:
+                _pretrace(prewarm_argv)
+        except Exception:
+            pass  # a job can still run (and pay its own init)
+        srv.settimeout(float(os.environ.get("FASTPLONG_DAEMON_IDLE",
+                                            "1800")))
+        try:
+            conn, _ = srv.accept()
+        except socket.timeout:
+            return 0
+        try:
+            job = _recv_msg(conn)
+            if not job:
+                return 0
+            rc, err = _run_job(job)
+            _send_msg(conn, {"rc": rc, "stderr": err})
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
+        return 0
+    finally:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+
+
+def _pretrace(argv):
+    """Trace + compile-cache-load + device-load every bucket executable
+    for the given CLI config — the expensive per-process work a job
+    would otherwise pay on its own clock.  The input file may not exist
+    anymore; only the kernel config matters."""
+    import numpy as np
+    from .main import build_parser, options_from_args
+    from .pipeline.device import (get_fast_step, out_fields, out_dtype,
+                                  init_stats_state, global_stat_len)
+    from .pipeline.batches import _BUCKETS, batch_rows
+    from .common import FETCH_GROUP, stat_device_cap
+    import jax.numpy as jnp
+    try:
+        args = build_parser().parse_args(list(argv)[1:])
+        opt = options_from_args(args, list(argv))
+    except BaseException:
+        return
+    # auto-detect configs resolve adapters per input; pre-trace is only
+    # exact for explicit-adapter configs — others still get backend init
+    if opt.adapter.enabled and (opt.adapter.sequence_start == "auto"
+                                or opt.adapter.sequence_end == "auto"):
+        return
+    cap = stat_device_cap()
+    host_mode = getattr(opt, "stats_backend", "auto") != "device"
+    F = out_fields(opt)
+    step_ns = get_fast_step(opt, with_stats=False)[0]
+    step_ws = None if host_mode else get_fast_step(opt)[0]
+    from concurrent.futures import ThreadPoolExecutor
+
+    def warm(L):
+        try:
+            B = batch_rows(L)
+            packed = jnp.zeros((B, L + 8), jnp.uint8)
+            outbuf = jnp.zeros((FETCH_GROUP, B, F),
+                               out_dtype(L, not (host_mode or L > cap)))
+            if host_mode or L > cap:
+                r = step_ns(outbuf, np.int32(0), packed, L)
+            else:
+                r = step_ws(init_stats_state(global_stat_len()),
+                            outbuf, np.int32(0), packed, L)
+            import jax
+            jax.block_until_ready(r)
+        except Exception:
+            pass
+
+    ls = [L for L in _BUCKETS if L <= cap]
+    with ThreadPoolExecutor(6) as pool:
+        list(pool.map(warm, ls))
+
+
 def serve():
     """Run the daemon server loop (blocking).  Exits quietly when the
     socket is already owned by a live daemon."""
@@ -182,6 +361,9 @@ def serve():
     srv.settimeout(min(idle, 60.0))
     token = code_token()
     env0 = _env_snapshot()
+    pool = _WorkerPool() if _prefork_mode() else None
+    if pool is not None:
+        pool.spawn()   # first worker warms while we wait for a client
     last = time.time()
     try:
         while True:
@@ -210,8 +392,19 @@ def serve():
                     _send_msg(conn, {"incompatible":
                                      "env differs: %s" % ",".join(bad)})
                     continue
-                rc, err = _run_job(job)
-                _send_msg(conn, {"rc": rc, "stderr": err})
+                if pool is not None:
+                    reply = pool.run_job(job)
+                    if reply is None:
+                        # worker died: run in-process as a last resort
+                        rc, err = _run_job(job)
+                        reply = {"rc": rc, "stderr": err}
+                    # next single-use worker pre-traces THIS config while
+                    # the daemon idles between invocations
+                    pool.spawn(prewarm_argv=job.get("argv"))
+                    _send_msg(conn, reply)
+                else:
+                    rc, err = _run_job(job)
+                    _send_msg(conn, {"rc": rc, "stderr": err})
             except (OSError, ValueError):
                 pass  # client went away mid-job; keep serving
             finally:
@@ -220,6 +413,8 @@ def serve():
                 except OSError:
                     pass
     finally:
+        if pool is not None:
+            pool.kill()
         try:
             os.unlink(path)
         except OSError:
@@ -349,4 +544,12 @@ def shutdown_daemon():
 
 
 if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
+        _pw = None
+        if len(sys.argv) >= 5 and sys.argv[3] == "--prewarm":
+            try:
+                _pw = json.loads(sys.argv[4])
+            except ValueError:
+                _pw = None
+        sys.exit(worker_serve(sys.argv[2], _pw))
     sys.exit(serve())

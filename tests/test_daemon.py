@@ -130,6 +130,32 @@ def test_daemon_ineligible_argv_bypasses():
     assert daemon.eligible(["fastplong", "-i", "a", "-o", "b"])
 
 
+def test_daemon_prefork_mode_parity(tmp_path, daemon_env, monkeypatch):
+    """Prefork mode (single-use pre-warmed worker per job — the tunnel
+    default): byte parity across two consecutive jobs, worker replaced
+    between them."""
+    monkeypatch.setenv("FASTPLONG_DAEMON_MODE", "prefork")
+    fq = write_random_fastq(str(tmp_path / "in.fq"), n_reads=120,
+                            min_len=30, max_len=500, seed=83,
+                            adapter_start=START, adapter_prob=0.4)
+    a = tmp_path / "a"
+    a.mkdir()
+    out_a, failed_a, json_a = run_ours(fq, str(a), ["-s", START])
+    for tag in ("p1", "p2"):
+        b = tmp_path / tag
+        b.mkdir()
+        r = _cli(["-i", fq, "-o", str(b / "out.fq"),
+                  "--failed_out", str(b / "failed.fq"),
+                  "-j", str(b / "r.json"), "-h", str(b / "r.html"),
+                  "-s", START])
+        assert r.returncode == 0, r.stderr.decode()[-2000:]
+        assert b"daemon unavailable" not in r.stderr
+        assert _read(str(b / "out.fq")) == _read(out_a)
+        assert _read(str(b / "failed.fq")) == _read(failed_a)
+        assert (strip_command(open(str(b / "r.json")).read())
+                == strip_command(open(json_a).read()))
+
+
 def test_daemon_env_mismatch_falls_back(tmp_path, daemon_env,
                                         monkeypatch):
     """Import-time env differences must be rejected by the daemon (the
