@@ -159,19 +159,23 @@ def _prefork_mode():
     run in the daemon process).
 
     Tunneled interconnects permanently degrade a process after its first
-    d2h (~30ms/op dispatch, h2d 1.8 GB/s -> ~30 MB/s measured), so a
-    resident daemon would run every job after the first in the degraded
-    regime.  A pristine worker per job keeps the whole dispatch phase in
-    fast mode; the NEXT worker spawns (backend init + executable loads +
-    a pre-trace of the last job's config) while the daemon is idle, so
-    clients never wait for it.  On direct-attached hardware the resident
-    mode's warm jit caches win.  FASTPLONG_DAEMON_MODE=resident|prefork
-    overrides the env sniff."""
+    d2h (~30ms/op dispatch, h2d 1.8 GB/s -> ~30 MB/s measured); prefork
+    runs each job in a pristine fast-mode worker, with the NEXT worker
+    spawning (backend init + executable loads + a pre-trace of the last
+    job's config) while the daemon idles.  That only pays off when jobs
+    arrive minutes apart; for back-to-back jobs the resident process's
+    warm jit caches win (measured, see _prefork_mode).
+    FASTPLONG_DAEMON_MODE=resident|prefork selects."""
     mode = os.environ.get("FASTPLONG_DAEMON_MODE", "")
     if mode in ("resident", "prefork"):
         return mode == "prefork"
-    return ("axon" in os.environ.get("JAX_PLATFORMS", "")
-            or bool(os.environ.get("PALLAS_AXON_POOL_IPS")))
+    # default RESIDENT everywhere: measured on the tunnel, back-to-back
+    # jobs make prefork pathological (each job waits on the next
+    # worker's backend init + pre-trace: 41s/job vs 7s resident even
+    # though the resident process runs transfer-degraded) — the warm jit
+    # caches beat the fast-mode transfer regime unless jobs are minutes
+    # apart.  Prefork stays available for spaced-out workloads.
+    return False
 
 
 class _WorkerPool:
@@ -251,13 +255,18 @@ def worker_serve(path, prewarm_argv=None):
     srv.bind(path)
     srv.listen(1)
     try:
-        try:
-            import jax
-            jax.devices()   # backend init, off any job's clock
-            if prewarm_argv:
-                _pretrace(prewarm_argv)
-        except Exception:
-            pass  # a job can still run (and pay its own init)
+        def _warm():
+            try:
+                import jax
+                jax.devices()   # backend init, off any job's clock
+                if prewarm_argv:
+                    _pretrace(prewarm_argv)
+            except Exception:
+                pass  # a job can still run (and pay its own init)
+        import threading
+        # background: a job that arrives mid-prewarm starts immediately
+        # and races it for the jit caches instead of waiting behind it
+        threading.Thread(target=_warm, daemon=True).start()
         srv.settimeout(float(os.environ.get("FASTPLONG_DAEMON_IDLE",
                                             "1800")))
         try:
@@ -386,8 +395,11 @@ def serve():
                 if job.get("cmd") == "ping":
                     _send_msg(conn, {"ok": True})
                     continue
+                jenv = job.get("env") or {}
+                # only a value the CLIENT set can conflict: an unset
+                # client var means "whatever the daemon runs with"
                 bad = [k for k in _IMPORT_TIME_VARS
-                       if (job.get("env") or {}).get(k, "") != env0[k]]
+                       if jenv.get(k, "") and jenv.get(k, "") != env0[k]]
                 if bad:
                     _send_msg(conn, {"incompatible":
                                      "env differs: %s" % ",".join(bad)})
