@@ -43,13 +43,17 @@ import os as _os
 # (BENCH_r04); with the warm daemon amortizing per-shape program loads
 # and the prewarm pool loading buckets concurrently, halving the padding
 # beats halving the shape count.
-_GROWTH = max(2, int(_os.environ.get("FASTPLONG_BUCKET_GROWTH", "2")))
+# growth may be fractional (e.g. 1.5): finer buckets cut padded h2d
+# bytes further at the cost of more shapes — the right trade under a
+# resident daemon where per-shape loads amortize across jobs
+_GROWTH = max(1.2, float(_os.environ.get("FASTPLONG_BUCKET_GROWTH", "2")))
 _MIN = max(64, int(_os.environ.get("FASTPLONG_BUCKET_MIN", "1024")))
 _BUCKETS = []
 _b = _MIN
 while _b < (1 << 30):
     _BUCKETS.append(_b)
-    _b *= _GROWTH
+    # 64-aligned shapes keep device tiling friendly
+    _b = max(_b + 64, int(-(-_b * _GROWTH // 64) * 64))
 _BUCKETS.append(_b)
 
 # base5 pack tables: v16 = CODE[s] + QMUL[q]; any byte outside the base5
