@@ -46,7 +46,10 @@ import os as _os
 # growth may be fractional (e.g. 1.5): finer buckets cut padded h2d
 # bytes further at the cost of more shapes — the right trade under a
 # resident daemon where per-shape loads amortize across jobs
-_GROWTH = max(1.2, float(_os.environ.get("FASTPLONG_BUCKET_GROWTH", "2")))
+# default 1.5 (round-4 A/B on the tunnel: ~15-20% faster daemon jobs
+# than 2.0 — padded feed bytes are the wall in the degraded-transfer
+# regime; the prewarm pool and daemon amortize the extra shapes)
+_GROWTH = max(1.2, float(_os.environ.get("FASTPLONG_BUCKET_GROWTH", "1.5")))
 _MIN = max(64, int(_os.environ.get("FASTPLONG_BUCKET_MIN", "1024")))
 _BUCKETS = []
 _b = _MIN
