@@ -79,6 +79,26 @@ def test_link_profiles_byte_parity(tmp_path, monkeypatch, profile):
                   ["-s", "AATGTACTTCGTTCAGTTACGTATTGCT", "-x", "-3"])
 
 
+def test_link_policy_pins_and_trim(monkeypatch):
+    """Env pins override profiles; the daemon-resident pin forces
+    partial trimming; the early-fetch trigger is byte-denominated."""
+    from fastplong_tpu.pipeline.link import LinkPolicy
+    monkeypatch.setenv("FASTPLONG_EARLY_FETCH_MB", "7")
+    monkeypatch.setenv("FASTPLONG_TRIM_PARTIALS", "1")
+    p = LinkPolicy(tunneled=True)
+    assert p.early_fetch_bytes == 7 << 20
+    assert p.partial_trim_ok()
+    monkeypatch.delenv("FASTPLONG_EARLY_FETCH_MB")
+    monkeypatch.setenv("FASTPLONG_TRIM_PARTIALS", "0")
+    q = LinkPolicy(tunneled=False)   # fast profile, but pinned off
+    assert not q.partial_trim_ok()
+    monkeypatch.delenv("FASTPLONG_TRIM_PARTIALS")
+    monkeypatch.setenv("FASTPLONG_DAEMON_CHILD", "1")
+    r = LinkPolicy(tunneled=True)    # resident daemon: trim pinned on
+    assert r.partial_trim_ok()
+    assert not r.eager_drain         # tunnel schedule otherwise intact
+
+
 def test_link_policy_adaptation():
     """Observed d2h bandwidth flips the profile both ways; env pins and
     forced profiles outrank the sniff."""
