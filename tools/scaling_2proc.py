@@ -120,33 +120,46 @@ def run(n_reads=4000, mean_len=8000):
     subprocess.run(_worker_cmd(cores_a, in_fq, workdir, "s2warm", 1, 0),
                    env=env, capture_output=True, timeout=1200, cwd=REPO)
 
-    # 1 "host" = half the cores, full input
-    r1 = subprocess.run(_worker_cmd(cores_a, in_fq, workdir, "s2one", 1, 0),
-                        env=env, capture_output=True, timeout=1200,
-                        cwd=REPO)
-    t1 = wall_of(r1)
+    attempts = int(os.environ.get("FASTPLONG_BENCH_S2_ATTEMPTS", "2"))
+    t1s, t2s, pair_walls = [], [], []
+    for k in range(max(1, attempts)):
+        # 1 "host" = half the cores, full input
+        r1 = subprocess.run(
+            _worker_cmd(cores_a, in_fq, workdir, "s2one%d" % k, 1, 0),
+            env=env, capture_output=True, timeout=1200, cwd=REPO)
+        t1s.append(wall_of(r1))
 
-    # 2 "hosts" = disjoint core halves, byte-range halves, concurrent
-    pa = subprocess.Popen(
-        _worker_cmd(cores_a, in_fq, workdir, "s2a", 2, 0),
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, cwd=REPO)
-    pb = subprocess.Popen(
-        _worker_cmd(cores_b, in_fq, workdir, "s2b", 2, 1),
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, cwd=REPO)
-    oa, ea = pa.communicate(timeout=1200)
-    ob, eb = pb.communicate(timeout=1200)
-    import types
-    t2a = wall_of(types.SimpleNamespace(stdout=oa, stderr=ea))
-    t2b = wall_of(types.SimpleNamespace(stdout=ob, stderr=eb))
-    t2 = max(t2a, t2b)
+        # 2 "hosts" = disjoint core halves, byte-range halves, concurrent
+        pa = subprocess.Popen(
+            _worker_cmd(cores_a, in_fq, workdir, "s2a%d" % k, 2, 0),
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            cwd=REPO)
+        pb = subprocess.Popen(
+            _worker_cmd(cores_b, in_fq, workdir, "s2b%d" % k, 2, 1),
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            cwd=REPO)
+        oa, ea = pa.communicate(timeout=1200)
+        ob, eb = pb.communicate(timeout=1200)
+        import types
+        t2a = wall_of(types.SimpleNamespace(stdout=oa, stderr=ea))
+        t2b = wall_of(types.SimpleNamespace(stdout=ob, stderr=eb))
+        t2s.append(max(t2a, t2b))
+        pair_walls.append([round(t2a, 3), round(t2b, 3)])
 
+    # best-of-N per leg: host noise (GC, page cache, background
+    # processes) only ever ADDS time, so min is the capability estimator
+    # — same reasoning as the headline's best-of-N
+    t1 = min(t1s)
+    t2 = min(t2s)
     rate1 = total / t1
     rate2 = total / t2
     return {
         "total_bases": total,
         "cores_per_host": half,
         "host1_wall_seconds": round(t1, 3),
-        "host2_wall_seconds": [round(t2a, 3), round(t2b, 3)],
+        "host1_walls_all": [round(t, 3) for t in t1s],
+        "host2_wall_seconds": pair_walls[t2s.index(t2)],
+        "host2_walls_all": pair_walls,
         "rate_1host_bases_per_second": round(rate1, 1),
         "rate_2host_bases_per_second": round(rate2, 1),
         "efficiency": round(rate2 / (2 * rate1), 4),
