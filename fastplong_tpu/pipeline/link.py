@@ -46,7 +46,7 @@ class LinkPolicy:
         "tunnel": dict(max_in_flight=3, flush_blocks=160,
                        max_blocks_pending=192, early_fetch_bytes=1 << 30,
                        fetch_slice=12 << 20, trim_partials=False,
-                       eager_drain=False),
+                       eager_drain=False, stream_feed=False),
         # shallow watermarks: fetch eagerly, keep held-block memory small;
         # no d2h slicing (the collapse-above-16MB pathology is tunnel-
         # only).  Partial batches are row-trimmed to a quantized prefix:
@@ -55,7 +55,7 @@ class LinkPolicy:
         "fast": dict(max_in_flight=3, flush_blocks=8,
                      max_blocks_pending=24, early_fetch_bytes=8 << 20,
                      fetch_slice=1 << 30, trim_partials=True,
-                     eager_drain=True),
+                     eager_drain=True, stream_feed=False),
     }
     FAST_MBPS = 100.0   # observed d2h above this -> fast profile
     SLOW_MBPS = 8.0     # below this -> tunnel profile
@@ -84,6 +84,15 @@ class LinkPolicy:
             # across jobs, so padded partial rows are pure link cost even
             # on a tunnel — trim them
             self._pins["trim_partials"] = True
+        sf = os.environ.get("FASTPLONG_STREAM_FEED", "")
+        if sf in ("0", "1"):
+            self._pins["stream_feed"] = sf == "1"
+        elif os.environ.get("FASTPLONG_DAEMON_CHILD") == "1":
+            # stream feed (device.py build_stream/unpack_stream): ships
+            # 1.03 bytes/base instead of padded rows — the dominant cost
+            # of a degraded-transfer resident process; its extra tiny
+            # (L, B, w) executables amortize across the daemon's life
+            self._pins["stream_feed"] = True
         forced = os.environ.get("FASTPLONG_LINK", "")
         self._forced = forced in self.PROFILES
         self.tunneled = tunneled
