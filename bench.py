@@ -481,19 +481,24 @@ def main():
         result["host_fallback"] = "stalled > " in err
 
         # measured CPU anchor (tools/cpu_anchor.py): compare against the
-        # reference binary's matching config (3_adapters, best threads)
+        # reference binary running the EXACT headline config (adapters
+        # both ends + quality cut + polyX), best thread count; falls back
+        # to the bare-adapters config for older anchor files
         anchor_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BASELINE_CPU.json")
         if os.path.exists(anchor_path):
             with open(anchor_path) as f:
                 anchor = json.load(f)
-            cfg = anchor.get("configs", {}).get("3_adapters", {})
-            rates = [v.get("bases_per_second", 0) for v in cfg.values()
-                     if isinstance(v, dict)]
-            if rates:
-                best = max(rates)
-                result["cpu_anchor_bases_per_second"] = best
-                result["vs_cpu_anchor"] = round(value / best, 4)
+            for cfg_name in ("3h_headline_exact", "3_adapters"):
+                cfg = anchor.get("configs", {}).get(cfg_name, {})
+                rates = [v.get("bases_per_second", 0) for v in cfg.values()
+                         if isinstance(v, dict)]
+                if rates:
+                    best = max(rates)
+                    result["cpu_anchor_bases_per_second"] = best
+                    result["cpu_anchor_config"] = cfg_name
+                    result["vs_cpu_anchor"] = round(value / best, 4)
+                    break
 
     if "hot" in profiles:
         # steady-state rate with device programs already loaded: the

@@ -34,6 +34,11 @@ CONFIGS = {
     "1_filters": ["--disable_adapter_trimming"],
     "2_cut_polyx": ["-5", "-3", "-x", "--disable_adapter_trimming"],
     "3_adapters": ["-s", START, "-e", END],
+    # the EXACT bench headline config (bench.py build_opt): adapters both
+    # ends + quality cut + polyX — vs_cpu_anchor must compare identical
+    # work, and the extra stages make the reference measurably slower
+    # than bare config 3
+    "3h_headline_exact": ["-s", START, "-e", END, "-5", "-3", "-x"],
     "4_autodetect": [],
     "5_break_complexity_split": ["-b", "-y", "--split", "4"],
 }
