@@ -231,9 +231,10 @@ class SingleEndRunner:
         # first dispatch, but every other bucket's load hides behind it.
         # NOTE deliberately NO eager d2h warm-up: measured on the tunnel,
         # a d2h at t=0 degrades the process's transfer mode before the
-        # program loads run (15s vs 3s for the first load), while the
-        # early first fetch (EARLY_FETCH_BATCHES) already absorbs the
-        # first-d2h penalty in the background fetcher thread.
+        # program loads run (15s vs 3s for the first load); the tunnel
+        # schedule defers the first fetch to the EOF drain entirely
+        # (LinkPolicy.early_fetch_bytes), where the background fetcher
+        # absorbs the first-d2h penalty.
         self._warm_pool = None
         self._warmed = set()
         if (_os.environ.get("FASTPLONG_PREWARM", "1") == "1"
