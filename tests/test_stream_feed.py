@@ -54,6 +54,21 @@ def test_stream_declines_when_not_smaller():
     assert build_stream(wide, 512) is None
 
 
+def test_stream_feed_reference_golden(tmp_path, monkeypatch):
+    """Stream feed forced, compared against the REAL reference binary
+    (not just the direct-feed A/B)."""
+    from golden_util import assert_parity
+    monkeypatch.setenv("FASTPLONG_STREAM_FEED", "1")
+    monkeypatch.setenv("FASTPLONG_STREAM_QUANTUM", "1024")
+    fq = write_random_fastq(str(tmp_path / "in.fq"), n_reads=350,
+                            min_len=30, max_len=900, seed=97,
+                            adapter_start="AATGTACTTCGTTCAGTTACGTATTGCT",
+                            adapter_prob=0.4, polya_prob=0.3)
+    assert_parity(fq, str(tmp_path),
+                  ["-s", "AATGTACTTCGTTCAGTTACGTATTGCT", "-x",
+                   "--cut_front", "--cut_tail"])
+
+
 def test_stream_feed_end_to_end_parity(tmp_path, monkeypatch):
     """Force the stream feed on: output must stay byte-identical."""
     monkeypatch.setenv("FASTPLONG_STREAM_FEED", "1")
