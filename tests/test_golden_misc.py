@@ -104,3 +104,30 @@ def test_fasta_adapter_with_n(tmp_path):
     # IUPAC N) trim on top of them (trimByMultiSequences)
     assert_parity(fq, str(tmp_path),
                   ["-s", "AGATCGGAAGAGCACACG", "-a", str(fa)])
+
+
+def test_dont_overwrite_stderr_parity(tmp_path):
+    """--dont_overwrite must refuse with the reference's exact diagnostic
+    (options.cpp:92-112) and a nonzero exit."""
+    import subprocess
+    import sys
+    from golden_util import ensure_reference, ref_env
+    ref = ensure_reference()
+    fq = write_random_fastq(str(tmp_path / "in.fq"), n_reads=20,
+                            min_len=40, max_len=120, seed=3)
+    out = str(tmp_path / "exists.fq")
+    open(out, "w").write("")
+    args = ["-i", fq, "-o", out, "--dont_overwrite", "-A",
+            "-j", str(tmp_path / "r.json"), "-h", str(tmp_path / "r.html")]
+    r_ref = subprocess.run([ref] + args, capture_output=True, timeout=60,
+                           env=ref_env())
+    r_our = subprocess.run(
+        [sys.executable, "-m", "fastplong_tpu.main"] + args,
+        capture_output=True, timeout=120,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r_ref.returncode != 0 and r_our.returncode != 0
+    want = [ln for ln in r_ref.stderr.decode().splitlines()
+            if "already exists" in ln]
+    got = [ln for ln in r_our.stderr.decode().splitlines()
+           if "already exists" in ln]
+    assert want and want == got, (want, got)
