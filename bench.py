@@ -123,6 +123,27 @@ def gen_input(path, n_reads=8000, mean_len=8000, seed=7):
     return path
 
 
+def bench_input_size():
+    """Default 24000 reads x mean 8 kbp = ~193 Mbases (round 5; was 8000
+    reads / 64 Mbases through round 4).  Rationale: the headline and the
+    CPU anchor are both measured as full-CLI subprocess walls over THIS
+    input, and at 64 Mbases the comparison was dominated by fixed
+    per-invocation tunnel costs (the first-d2h regime flip, ~2s of RTTs)
+    that a directly-attached deployment would not pay; tripling the input
+    keeps the methodology identical on both sides while measuring
+    steady-state throughput rather than one-time link pathologies.
+    tools/cpu_anchor.py re-measures the reference on the same input."""
+    return (int(os.environ.get("FASTPLONG_BENCH_READS", "24000")),
+            int(os.environ.get("FASTPLONG_BENCH_MEAN_LEN", "8000")))
+
+
+def input_path(workdir):
+    n_reads, mean_len = bench_input_size()
+    suffix = ("" if (n_reads, mean_len) == (8000, 8000)
+              else "_%dx%d" % (n_reads, mean_len))
+    return os.path.join(workdir, "bench_in%s.fq" % suffix)
+
+
 def count_bases(path):
     with open(path, "rb") as f:
         data = f.read()
@@ -402,12 +423,9 @@ def main():
         merged.setdefault("unit", "bases/s")
         print(json.dumps(merged))
         return
-    n_reads = int(os.environ.get("FASTPLONG_BENCH_READS", "8000"))
-    mean_len = int(os.environ.get("FASTPLONG_BENCH_MEAN_LEN", "8000"))
-    suffix = ("" if (n_reads, mean_len) == (8000, 8000)
-              else "_%dx%d" % (n_reads, mean_len))
-    in_fq = os.path.join(workdir, "bench_in%s.fq" % suffix)
+    in_fq = input_path(workdir)
     if not os.path.exists(in_fq):
+        n_reads, mean_len = bench_input_size()
         gen_input(in_fq, n_reads=n_reads, mean_len=mean_len)
     total_bases = count_bases(in_fq)
 
@@ -489,6 +507,11 @@ def main():
         if os.path.exists(anchor_path):
             with open(anchor_path) as f:
                 anchor = json.load(f)
+            # the anchor is only comparable if it was measured on the
+            # same input (tools/cpu_anchor.py uses bench.input_path)
+            ab = anchor.get("input_bases")
+            if ab and abs(ab - total_bases) > 0.05 * total_bases:
+                result["cpu_anchor_stale_input"] = ab
             for cfg_name in ("3h_headline_exact", "3_adapters"):
                 cfg = anchor.get("configs", {}).get(cfg_name, {})
                 rates = [v.get("bases_per_second", 0) for v in cfg.values()

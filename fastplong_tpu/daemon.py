@@ -44,6 +44,7 @@ _IMPORT_TIME_VARS = (
     "FASTPLONG_TOKENS_PER_BATCH", "FASTPLONG_MAX_BATCH_READS",
     "FASTPLONG_FETCH_GROUP", "FASTPLONG_EMIT_FALLBACK",
     "FASTPLONG_PALLAS", "FASTPLONG_BUCKET_GROWTH", "FASTPLONG_BUCKET_MIN",
+    "FASTPLONG_BUCKETS",
     "JAX_PLATFORMS", "XLA_FLAGS", "JAX_COMPILATION_CACHE_DIR",
 )
 # runtime-read vars shipped with each job and applied for its duration
@@ -118,8 +119,22 @@ def _env_snapshot():
     return snap
 
 
+# the serving process's own FASTPLONG_* environment, snapshotted at serve
+# start (broker or worker): every job runs against THIS baseline plus its
+# own shipped vars, so one client's runtime knobs (fetch timeout, link
+# pins...) can never leak into a later client's job, while the worker's
+# own config pins (set before its snapshot) survive every job
+_ENV_BASELINE = None
+
+
+def _snapshot_env_baseline():
+    global _ENV_BASELINE
+    _ENV_BASELINE = {k: v for k, v in os.environ.items()
+                     if k.startswith(_JOB_VARS_PREFIX)}
+
+
 def _run_job(job):
-    """Execute one CLI job in-process; returns (rc, stderr_text)."""
+    """Execute one CLI job in-process; returns (rc, stderr, stdout)."""
     import io
     import contextlib
     import traceback
@@ -127,17 +142,26 @@ def _run_job(job):
     try:
         os.chdir(cwd)
     except OSError as e:
-        return 66, "daemon: cannot chdir to %s: %s\n" % (cwd, e)
-    # apply the client's runtime-read env for this job
-    saved = {}
+        return 66, "daemon: cannot chdir to %s: %s\n" % (cwd, e), ""
+    # reset the runtime-read env to the serve-time baseline, then apply
+    # the client's vars on top; restored afterwards
+    saved = {k: v for k, v in os.environ.items()
+             if k.startswith(_JOB_VARS_PREFIX)}
+    base = _ENV_BASELINE if _ENV_BASELINE is not None else saved
+    wanted = dict(base)
     for k, v in (job.get("env") or {}).items():
         if k.startswith(_JOB_VARS_PREFIX) and k not in _IMPORT_TIME_VARS:
-            saved[k] = os.environ.get(k)
-            os.environ[k] = v
+            wanted[k] = v
+    for k in saved:
+        if k not in wanted:
+            del os.environ[k]
+    os.environ.update(wanted)
     buf = io.StringIO()
+    out = io.StringIO()
     rc = 0
     try:
-        with contextlib.redirect_stderr(buf):
+        with contextlib.redirect_stderr(buf), \
+                contextlib.redirect_stdout(out):
             from .main import main
             rc = main(job["argv"]) or 0
     except SystemExit as e:
@@ -146,127 +170,226 @@ def _run_job(job):
         buf.write(traceback.format_exc())
         rc = 70
     finally:
-        for k, v in saved.items():
-            if v is None:
-                os.environ.pop(k, None)
-            else:
-                os.environ[k] = v
-    return rc, buf.getvalue()
+        for k in list(os.environ):
+            if k.startswith(_JOB_VARS_PREFIX) and k not in saved:
+                del os.environ[k]
+        os.environ.update(saved)
+    return rc, buf.getvalue(), out.getvalue()
 
 
-def _prefork_mode():
-    """Prefork (single-use pre-warmed worker per job) vs resident (jobs
-    run in the daemon process).
+def _daemon_mode():
+    """resident | pool (FASTPLONG_DAEMON_MODE; 'prefork' is accepted as
+    an alias of pool).  Default 'auto': pool on tunneled interconnects,
+    resident on direct-attached hardware.
 
-    Tunneled interconnects permanently degrade a process after its first
-    d2h (~30ms/op dispatch, h2d 1.8 GB/s -> ~30 MB/s measured); prefork
-    runs each job in a pristine fast-mode worker, with the NEXT worker
-    spawning (backend init + executable loads + a pre-trace of the last
-    job's config) while the daemon idles.  That only pays off when jobs
-    arrive minutes apart; for back-to-back jobs the resident process's
-    warm jit caches win (measured, see _prefork_mode).
-    FASTPLONG_DAEMON_MODE=resident|prefork selects."""
+    Rationale (all measured on the dev tunnel): a process is PERMANENTLY
+    transfer-degraded after its first d2h (h2d 1.5 GB/s -> 8-30 MB/s), so
+    resident jobs pay ~1.3 bytes/base through a collapsed link; a
+    pristine worker ships the same feed at GB/s and only its tiny EOF
+    drain rides the degraded regime.  The round-4 prefork was pathological
+    (41s/job) because jobs RACED the next worker's warm-up; pool mode
+    fixes that by only dispatching to workers that have finished warming
+    (backend init + the pinned 2-bucket program set, advertised via a
+    .ready file) and replenishing in the background — a job that finds no
+    warm worker simply runs resident, so the pool is a pure accelerator."""
     mode = os.environ.get("FASTPLONG_DAEMON_MODE", "")
-    if mode in ("resident", "prefork"):
-        return mode == "prefork"
-    # default RESIDENT everywhere: measured on the tunnel, back-to-back
-    # jobs make prefork pathological (each job waits on the next
-    # worker's backend init + pre-trace: 41s/job vs 7s resident even
-    # though the resident process runs transfer-degraded) — the warm jit
-    # caches beat the fast-mode transfer regime unless jobs are minutes
-    # apart.  Prefork stays available for spaced-out workloads.
-    return False
+    if mode == "resident":
+        return "resident"
+    if mode in ("prefork", "pool"):
+        return "pool"
+    return "auto"
 
 
-class _WorkerPool:
-    """One pre-spawned single-use worker; replaced after each job."""
+def _probe_tunneled(timeout_s=120):
+    """True/False = device reached through a tunnel / directly; None when
+    the probe failed.  Runs in a disposable subprocess (a dead tunnel can
+    hang device enumeration forever)."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices()[0]; import sys; "
+             "sys.stdout.write('T' if 'axon' in getattr("
+             "d.client, 'platform_version', '') else 'F')"],
+            capture_output=True, timeout=timeout_s, env=dict(os.environ))
+    except Exception:
+        return None
+    if r.returncode != 0:
+        return None
+    tail = r.stdout[-1:]
+    return True if tail == b"T" else (False if tail == b"F" else None)
 
-    def __init__(self):
-        self.proc = None
-        self.path = None
 
-    def spawn(self, prewarm_argv=None):
+def job_key(argv):
+    """Kernel-config fingerprint of a CLI argv: the argv with the values
+    of pure path/title options blanked.  Two jobs with equal keys compile
+    to the same device programs, so a worker pre-traced for one is fully
+    warm for the other."""
+    _PATH_OPTS = {"-i", "--in", "-o", "--out", "--failed_out",
+                  "-j", "--json", "-h", "--html", "-R", "--report_title"}
+    out = []
+    skip = False
+    for a in argv[1:]:
+        if skip:
+            skip = False
+            out.append("*")
+            continue
+        if a in _PATH_OPTS:
+            out.append(a)
+            skip = True
+            continue
+        eq = a.split("=", 1)
+        if len(eq) == 2 and eq[0] in _PATH_OPTS:
+            out.append(eq[0] + "=*")
+            continue
+        out.append(a)
+    return tuple(out)
+
+
+class _Worker:
+    """One single-use pre-warmed worker process."""
+
+    # config pins for pristine workers: a 2-bucket ladder + big batches +
+    # whole-ring drains = the job's ENTIRE device program set is 2 step
+    # executables, both pre-loaded during warm-up.  Padding waste is
+    # irrelevant in the fast pre-first-d2h regime the worker runs its
+    # whole dispatch phase in (padded rows move at GB/s; the device step
+    # itself has ~1000x headroom over the link).  setdefault semantics:
+    # an operator's explicit value wins.
+    ENV = {
+        "FASTPLONG_BUCKETS": "16384,65536",
+        "FASTPLONG_TOKENS_PER_BATCH": str(1 << 25),
+        "FASTPLONG_FETCH_FULL_RING": "1",
+        "FASTPLONG_STREAM_FEED": "0",
+        "FASTPLONG_TRIM_PARTIALS": "0",
+        "FASTPLONG_LINK": "tunnel",
+    }
+
+    def __init__(self, prewarm_argv=None):
         import subprocess
         import uuid
+        self.key = job_key(prewarm_argv) if prewarm_argv else None
         self.path = os.path.join(_sock_dir(),
                                  "worker-%s.sock" % uuid.uuid4().hex[:8])
         cmd = [sys.executable, "-m", "fastplong_tpu.daemon",
                "--worker", self.path]
         if prewarm_argv:
-            cmd += ["--prewarm", json.dumps(prewarm_argv)]
+            cmd += ["--prewarm", json.dumps(list(prewarm_argv))]
+        env = dict(os.environ)
+        for k, v in self.ENV.items():
+            env.setdefault(k, v)
         log = os.path.join(_sock_dir(), "worker.log")
         with open(log, "ab") as lf:
             self.proc = subprocess.Popen(
                 cmd, stdout=lf, stderr=lf,
-                stdin=subprocess.DEVNULL, env=dict(os.environ),
-                cwd=os.getcwd())
+                stdin=subprocess.DEVNULL, env=env, cwd=os.getcwd())
 
-    def connect(self, deadline=90.0):
-        """Connect to the worker's socket (binds early; accepts when its
-        init/prewarm is done)."""
-        end = time.time() + deadline
-        while True:
-            c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-            try:
-                c.connect(self.path)
-                c.settimeout(None)
-                return c
-            except OSError:
-                c.close()
-                if self.proc.poll() is not None or time.time() > end:
-                    return None
-                time.sleep(0.05)
+    def ready(self):
+        return (self.proc.poll() is None
+                and os.path.exists(self.path + ".ready"))
+
+    def alive(self):
+        return self.proc.poll() is None
 
     def run_job(self, job):
-        """Forward one job; returns the reply dict or None. The worker
-        exits afterwards."""
-        c = self.connect()
-        if c is None:
-            return None
+        """Forward one job; returns the reply dict or None.  The worker
+        exits after replying; it is reaped on a background thread so its
+        teardown (jax backend destructor, potentially seconds through a
+        sick tunnel) never delays the reply to the client."""
+        c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         try:
+            c.connect(self.path)
+            c.settimeout(None)
             _send_msg(c, job)
             return _recv_msg(c)
         except OSError:
             return None
         finally:
             c.close()
-            try:
-                self.proc.wait(timeout=10)
-            except Exception:
-                self.proc.terminate()
+            import threading
+
+            def _reap(proc=self.proc):
+                try:
+                    proc.wait(timeout=30)
+                except Exception:
+                    proc.terminate()
+
+            threading.Thread(target=_reap, daemon=True).start()
 
     def kill(self):
         if self.proc is not None and self.proc.poll() is None:
             self.proc.terminate()
-        if self.path:
+        for p in (self.path, self.path + ".ready"):
             try:
-                os.unlink(self.path)
+                os.unlink(p)
             except OSError:
                 pass
 
 
+class _WorkerPool:
+    """A target-size set of pre-warmed single-use workers, replenished
+    eagerly; `take` only ever returns a FULLY warm worker with a matching
+    config key, so no job waits on (or races) a warm-up."""
+
+    def __init__(self):
+        self.target = max(0, int(os.environ.get(
+            "FASTPLONG_DAEMON_POOL", "2")))
+        self.workers = []
+
+    def ensure(self, argv):
+        """Replenish toward target for this argv's config; retire workers
+        warmed for a different config (their loaded programs are useless
+        and they hold device memory)."""
+        if not self.target or argv is None:
+            return
+        key = job_key(argv)
+        keep = []
+        for w in self.workers:
+            if w.alive() and w.key == key:
+                keep.append(w)
+            else:
+                w.kill()
+        self.workers = keep
+        while len(self.workers) < self.target:
+            self.workers.append(_Worker(argv))
+
+    def take(self, argv):
+        """Pop a warm worker for this config, or None; replenishment is
+        the caller's job (ensure) so the spawn overlaps the job run."""
+        key = job_key(argv)
+        for i, w in enumerate(self.workers):
+            if w.key == key and w.ready():
+                return self.workers.pop(i)
+        return None
+
+    def kill(self):
+        for w in self.workers:
+            w.kill()
+        self.workers = []
+
+
 def worker_serve(path, prewarm_argv=None):
-    """Single-use job worker: bind the socket FIRST (the broker can
-    connect/send immediately; recv blocks until we're ready), then init
-    the backend and pre-trace/pre-load the last job's config, then
-    accept exactly one job, run it, reply, exit."""
+    """Single-use job worker: bind the socket, warm up COMPLETELY
+    (backend init + pre-trace/pre-load of the prewarm config), advertise
+    readiness via `path + ".ready"`, then accept exactly one job, run it,
+    reply, exit.  The broker only dispatches to workers whose ready file
+    exists, so a job never races the warm-up (the round-4 prefork
+    pathology: 41s/job waiting on worker init)."""
     os.environ["FASTPLONG_DAEMON_CHILD"] = "1"
+    _snapshot_env_baseline()
     srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
     srv.bind(path)
     srv.listen(1)
     try:
-        def _warm():
-            try:
-                import jax
-                jax.devices()   # backend init, off any job's clock
-                if prewarm_argv:
-                    _pretrace(prewarm_argv)
-            except Exception:
-                pass  # a job can still run (and pay its own init)
-        import threading
-        # background: a job that arrives mid-prewarm starts immediately
-        # and races it for the jit caches instead of waiting behind it
-        threading.Thread(target=_warm, daemon=True).start()
+        try:
+            import jax
+            jax.devices()   # backend init, off any job's clock
+            if prewarm_argv:
+                _pretrace(prewarm_argv)
+        except Exception:
+            pass  # a job can still run (and pay its own init)
+        with open(path + ".ready", "w") as f:
+            f.write(str(os.getpid()))
         srv.settimeout(float(os.environ.get("FASTPLONG_DAEMON_IDLE",
                                             "1800")))
         try:
@@ -277,8 +400,8 @@ def worker_serve(path, prewarm_argv=None):
             job = _recv_msg(conn)
             if not job:
                 return 0
-            rc, err = _run_job(job)
-            _send_msg(conn, {"rc": rc, "stderr": err})
+            rc, err, out = _run_job(job)
+            _send_msg(conn, {"rc": rc, "stderr": err, "stdout": out})
         finally:
             try:
                 conn.close()
@@ -286,10 +409,11 @@ def worker_serve(path, prewarm_argv=None):
                 pass
         return 0
     finally:
-        try:
-            os.unlink(path)
-        except OSError:
-            pass
+        for p in (path, path + ".ready"):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
 
 
 def _pretrace(argv):
@@ -323,6 +447,7 @@ def _pretrace(argv):
 
     def warm(L):
         try:
+            import jax
             B = batch_rows(L)
             packed = jnp.zeros((B, L + 8), jnp.uint8)
             outbuf = jnp.zeros((FETCH_GROUP, B, F),
@@ -332,8 +457,16 @@ def _pretrace(argv):
             else:
                 r = step_ws(init_stats_state(global_stat_len()),
                             outbuf, np.int32(0), packed, L)
-            import jax
             jax.block_until_ready(r)
+            if os.environ.get("FASTPLONG_FETCH_FULL_RING") == "1":
+                # stable-slice drains (runner._flush_pending_groups):
+                # pre-load the 5 possible (kq, B) slice executables —
+                # device-side slicing, no d2h, so warming cannot flip a
+                # pristine worker into the degraded-transfer regime
+                kq = 1
+                while kq <= FETCH_GROUP:
+                    jax.block_until_ready(outbuf[:kq, :B])
+                    kq *= 2
         except Exception:
             pass
 
@@ -363,16 +496,30 @@ def serve():
                 pass
             srv.bind(path)
     os.chmod(path, 0o600)
+    try:
+        bound_ino = os.stat(path).st_ino
+    except OSError:
+        bound_ino = None
     srv.listen(4)
     # jobs must never re-enter the daemon client path
     os.environ["FASTPLONG_DAEMON_CHILD"] = "1"
+    _snapshot_env_baseline()
     idle = float(os.environ.get("FASTPLONG_DAEMON_IDLE", "1800"))
     srv.settimeout(min(idle, 60.0))
     token = code_token()
     env0 = _env_snapshot()
-    pool = _WorkerPool() if _prefork_mode() else None
-    if pool is not None:
-        pool.spawn()   # first worker warms while we wait for a client
+    mode = _daemon_mode()
+    pool = _WorkerPool() if mode in ("pool", "auto") else None
+    pool_on = [mode == "pool"]   # auto: resolved by the async probe below
+    if pool is not None and mode == "auto":
+        import threading
+
+        def _resolve():
+            t = _probe_tunneled()
+            if t:
+                pool_on[0] = True   # tunneled: pristine workers win
+
+        threading.Thread(target=_resolve, daemon=True).start()
     last = time.time()
     try:
         while True:
@@ -404,19 +551,23 @@ def serve():
                     _send_msg(conn, {"incompatible":
                                      "env differs: %s" % ",".join(bad)})
                     continue
-                if pool is not None:
-                    reply = pool.run_job(job)
-                    if reply is None:
-                        # worker died: run in-process as a last resort
-                        rc, err = _run_job(job)
-                        reply = {"rc": rc, "stderr": err}
-                    # next single-use worker pre-traces THIS config while
-                    # the daemon idles between invocations
-                    pool.spawn(prewarm_argv=job.get("argv"))
-                    _send_msg(conn, reply)
-                else:
-                    rc, err = _run_job(job)
-                    _send_msg(conn, {"rc": rc, "stderr": err})
+                reply = None
+                use_pool = pool is not None and pool_on[0]
+                if use_pool:
+                    w = pool.take(job.get("argv") or [])
+                    # replenish FIRST, taken or not: replacement warm-ups
+                    # overlap this job's run, so a burst of back-to-back
+                    # jobs (the first of which always runs resident in a
+                    # fresh daemon) finds warm workers from job 2 on
+                    pool.ensure(job.get("argv"))
+                    if w is not None:
+                        reply = w.run_job(job)
+                if reply is None:
+                    # no warm worker (or it died): run resident — the
+                    # pool is an accelerator, never a dependency
+                    rc, err, out = _run_job(job)
+                    reply = {"rc": rc, "stderr": err, "stdout": out}
+                _send_msg(conn, reply)
             except (OSError, ValueError):
                 pass  # client went away mid-job; keep serving
             finally:
@@ -427,8 +578,13 @@ def serve():
     finally:
         if pool is not None:
             pool.kill()
+        # unlink only OUR socket: a client-triggered respawn may have
+        # bound a fresh socket at this path while we were shutting down
+        # (stale-token handover) — deleting it would strand the new
+        # daemon (ADVICE r4)
         try:
-            os.unlink(path)
+            if bound_ino is not None and os.stat(path).st_ino == bound_ino:
+                os.unlink(path)
         except OSError:
             pass
 
@@ -474,19 +630,41 @@ def _job_env():
     return env
 
 
+_PATH_OPTS = ("-i", "--in", "-o", "--out", "--failed_out",
+              "-j", "--json", "-h", "--html", "-a", "--adapter_fasta")
+
+
+def _is_stream_path(p):
+    """Paths that resolve to the CLIENT's fds, not the daemon's: '-',
+    /dev/stdin|stdout|stderr, /dev/fd/N, /proc/self/fd/N."""
+    return (p == "-" or p.startswith("/dev/fd/")
+            or p.startswith("/proc/self/fd/")
+            or p in ("/dev/stdin", "/dev/stdout", "/dev/stderr"))
+
+
 def eligible(argv):
     """Daemon-eligible CLI invocations: no stdin/stdout streaming (the
-    daemon cannot see the client's pipes), no multi-host role."""
-    skip_next = False
+    daemon cannot see the client's pipes — including '-' or /dev/std*
+    PATH operands, which would silently read the daemon's /dev/null or
+    write its log), no --help/--version (their output belongs on the
+    client's stdout immediately), no multi-host role."""
+    skip_val = False
     for a in argv[1:]:
-        if skip_next:
-            skip_next = False
+        if skip_val:
+            skip_val = False
+            if _is_stream_path(a):
+                return False
             continue
-        if a in ("--stdin", "--stdout"):
+        if a in ("--stdin", "--stdout", "--help", "-v", "--version"):
             return False
-        if a == "--num_hosts":
+        if a == "--num_hosts" or a.startswith("--num_hosts="):
             return False
-        if a.startswith("--num_hosts="):
+        if a in _PATH_OPTS:
+            skip_val = True
+            continue
+        eq = a.split("=", 1)
+        if len(eq) == 2 and eq[0] in _PATH_OPTS \
+                and _is_stream_path(eq[1]):
             return False
     return True
 
@@ -534,6 +712,8 @@ def run_via_daemon(argv, spawn_wait=20.0):
             conn.close()
         if not resp or "rc" not in resp:
             return None  # incompatible env or protocol trouble
+        if resp.get("stdout"):
+            sys.stdout.write(resp["stdout"])
         if resp.get("stderr"):
             sys.stderr.write(resp["stderr"])
         return int(resp["rc"])

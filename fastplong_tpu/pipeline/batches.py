@@ -20,10 +20,11 @@ Reads are grouped by length bucket so padding stays bounded, and batch
 shapes are canonical — one (B, L) pair per bucket — because every new
 shape costs an XLA compile AND an executable load onto the device (seconds
 each through a tunneled interconnect; see runner prewarm).  Bucket growth
-is 2x by default (round 4): padded h2d bytes are a first-order cost on
-weak links (4x growth measured 2.28 bytes/base and made the warm
-pipeline link-bound), while the extra shapes load concurrently on the
-prewarm pool and amortize entirely under the warm daemon.
+is 1.5x by default: padded h2d bytes are a first-order cost on weak links
+(4x growth measured 2.28 bytes/base and made the warm pipeline
+link-bound), while the extra shapes load concurrently on the prewarm pool
+and amortize entirely under the warm daemon.  2.0/4.0 trade padding for
+fewer shapes where loads are not amortized (FASTPLONG_BUCKET_GROWTH).
 
 BatchBuilder accumulates reads ACROSS RecordBlocks until a batch is full,
 so partially-filled batches only occur at end of input; the runner tracks
@@ -36,28 +37,38 @@ from ..common import TOKENS_PER_BATCH, MAX_BATCH_READS
 
 import os as _os
 
-# length buckets: geometric from FASTPLONG_BUCKET_MIN with integer growth
-# FASTPLONG_BUCKET_GROWTH (4 = fewest compiled shapes, 2 = least padding).
-# Default 2 since round 4: measured on the tunnel, 4x growth padded the
-# h2d feed to 2.28 bytes/base and made the warm pipeline LINK-bound
-# (BENCH_r04); with the warm daemon amortizing per-shape program loads
-# and the prewarm pool loading buckets concurrently, halving the padding
-# beats halving the shape count.
-# growth may be fractional (e.g. 1.5): finer buckets cut padded h2d
-# bytes further at the cost of more shapes — the right trade under a
-# resident daemon where per-shape loads amortize across jobs
-# default 1.5 (round-4 A/B on the tunnel: ~15-20% faster daemon jobs
-# than 2.0 — padded feed bytes are the wall in the degraded-transfer
-# regime; the prewarm pool and daemon amortize the extra shapes)
+# length buckets: geometric from FASTPLONG_BUCKET_MIN with growth
+# FASTPLONG_BUCKET_GROWTH (4 = fewest compiled shapes, 1.5 = least
+# padding).  Growth may be fractional; the default is 1.5 (round-4 A/B on
+# the tunnel: ~15-20% faster daemon jobs than 2.0 — padded feed bytes are
+# the wall in the degraded-transfer regime, and the prewarm pool plus the
+# resident daemon amortize the extra shapes).  2.0 and 4.0 remain the
+# right trade where per-shape device program loads are NOT amortized.
+#
+# FASTPLONG_BUCKETS pins the ladder outright (comma-separated lengths):
+# the daemon's pristine single-use workers run with a 2-bucket ladder so
+# a job's entire executable set is pre-loaded off-clock — padding waste
+# is irrelevant in their fast pre-first-d2h transfer regime, shape count
+# is everything.  The ladder continues geometrically above the top pin so
+# monster reads still land in canonical (cacheable) shapes.
 _GROWTH = max(1.2, float(_os.environ.get("FASTPLONG_BUCKET_GROWTH", "1.5")))
 _MIN = max(64, int(_os.environ.get("FASTPLONG_BUCKET_MIN", "1024")))
-_BUCKETS = []
-_b = _MIN
-while _b < (1 << 30):
+_PINNED = _os.environ.get("FASTPLONG_BUCKETS", "")
+if _PINNED:
+    _BUCKETS = sorted({max(64, int(-(-int(x) // 64) * 64))
+                       for x in _PINNED.split(",") if x.strip()})
+    _b = _BUCKETS[-1]
+    while _b < (1 << 30):
+        _b = max(_b + 64, int(-(-_b * 4 // 64) * 64))
+        _BUCKETS.append(_b)
+else:
+    _BUCKETS = []
+    _b = _MIN
+    while _b < (1 << 30):
+        _BUCKETS.append(_b)
+        # 64-aligned shapes keep device tiling friendly
+        _b = max(_b + 64, int(-(-_b * _GROWTH // 64) * 64))
     _BUCKETS.append(_b)
-    # 64-aligned shapes keep device tiling friendly
-    _b = max(_b + 64, int(-(-_b * _GROWTH // 64) * 64))
-_BUCKETS.append(_b)
 
 # base5 pack tables: v16 = CODE[s] + QMUL[q]; any byte outside the base5
 # alphabet or quality range leaves bit 8/9 set -> fall back to wide

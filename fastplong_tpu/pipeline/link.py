@@ -46,7 +46,8 @@ class LinkPolicy:
         "tunnel": dict(max_in_flight=3, flush_blocks=160,
                        max_blocks_pending=192, early_fetch_bytes=1 << 30,
                        fetch_slice=12 << 20, trim_partials=False,
-                       eager_drain=False, stream_feed=False),
+                       eager_drain=False, stream_feed=False,
+                       fetch_full_ring=False),
         # shallow watermarks: fetch eagerly, keep held-block memory small;
         # no d2h slicing (the collapse-above-16MB pathology is tunnel-
         # only).  Partial batches are row-trimmed to a quantized prefix:
@@ -55,7 +56,8 @@ class LinkPolicy:
         "fast": dict(max_in_flight=3, flush_blocks=8,
                      max_blocks_pending=24, early_fetch_bytes=8 << 20,
                      fetch_slice=1 << 30, trim_partials=True,
-                     eager_drain=True, stream_feed=False),
+                     eager_drain=True, stream_feed=False,
+                     fetch_full_ring=False),
     }
     FAST_MBPS = 100.0   # observed d2h above this -> fast profile
     SLOW_MBPS = 8.0     # below this -> tunnel profile
@@ -84,6 +86,14 @@ class LinkPolicy:
             # across jobs, so padded partial rows are pure link cost even
             # on a tunnel — trim them
             self._pins["trim_partials"] = True
+        ffr = os.environ.get("FASTPLONG_FETCH_FULL_RING", "")
+        if ffr in ("0", "1"):
+            # drain fetches the whole [K, B, F] ring instead of a
+            # quantized slice: zero slice executables, so a pristine
+            # single-use worker's pre-loaded program set covers the whole
+            # job (daemon pool mode); the extra stale-slot bytes are a
+            # couple of MB per drain
+            self._pins["fetch_full_ring"] = ffr == "1"
         sf = os.environ.get("FASTPLONG_STREAM_FEED", "")
         if sf in ("0", "1"):
             self._pins["stream_feed"] = sf == "1"

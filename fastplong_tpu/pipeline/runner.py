@@ -690,10 +690,10 @@ class SingleEndRunner:
         """Device-resident packed feed for one non-mesh batch: the
         stream feed (exact payload bytes, rebuilt to padded rows on
         device — device.build_stream/unpack_stream) when the policy
-        enables it and the batch qualifies (full b5 batch), else a
-        direct h2d of the padded rows."""
-        if (self.link.stream_feed and batch.layout == "b5"
-                and len(batch.read_mask) and bool(batch.read_mask[-1])):
+        enables it and the batch qualifies (b5 layout — padding rows
+        carry len 0, so partial batches stream exactly like full ones),
+        else a direct h2d of the padded rows."""
+        if self.link.stream_feed and batch.layout == "b5":
             from .device import build_stream, unpack_stream
             stream = build_stream(batch.packed, batch.L)
             if stream is not None:
@@ -774,6 +774,19 @@ class SingleEndRunner:
                 # 0; _consume_batch's trim relies on it (ADVICE r2)
                 assert max(ends) == total, "batch rows are not a prefix"
                 used = max(used, min(B, total))
+            if getattr(self.link, "fetch_full_ring", False):
+                # stable-slice drain: power-of-2 slot count x FULL rows.
+                # The slice shape set per bucket is then just the 5 kq
+                # values, all pre-loaded during a pool worker's warm-up
+                # (daemon._pretrace) so no program load lands on the job
+                # clock.  Full rows cost nothing extra on full slots and
+                # only pad the EOF-tail slot; d2h bytes stay near the
+                # exact-slice amount (unlike a whole-ring fetch, which
+                # 8x'd the drain and stalled in degraded-d2h weather).
+                kq = q2(n, K)
+                groups.append((pending, (buf, kq, B, K, B)))
+                nbytes += kq * B * buf.shape[2] * buf.dtype.itemsize
+                continue
             kq = q2(n, K)
             if bs.sharded:
                 # mesh ring: quantize rows to whole shards so the slice

@@ -14,6 +14,9 @@ from .report.html_report import report_html
 
 
 def process(opt):
+    import time
+    _ph = {}
+    _t0 = time.perf_counter()
     support_evaluation = (not opt.input_from_stdin
                           and opt.in_file != "/dev/stdin")
 
@@ -45,8 +48,12 @@ def process(opt):
             sys.stderr.write("WARNING: the input file has less reads than the"
                              " number of files to split\n")
 
+    _ph["evaluator"] = time.perf_counter() - _t0
+    _t0 = time.perf_counter()
     from .pipeline.runner import SingleEndRunner
     runner = SingleEndRunner(opt)
+    _ph["runner_init"] = time.perf_counter() - _t0
+    _t0 = time.perf_counter()
     if getattr(opt, "profile_dir", ""):
         # --profile DIR: capture a jax.profiler trace of the whole run
         # (device timelines + host python spans; view with tensorboard)
@@ -55,6 +62,9 @@ def process(opt):
             pre_stats, post_stats, filter_result = runner.run()
     else:
         pre_stats, post_stats, filter_result = runner.run()
+
+    _ph["runner_run"] = time.perf_counter() - _t0
+    _t0 = time.perf_counter()
 
     if opt.verbose:
         from .util import loginfo
@@ -71,4 +81,28 @@ def process(opt):
 
     report_json(opt, filter_result, pre_stats, post_stats)
     report_html(opt, filter_result, pre_stats, post_stats)
+    _ph["reports"] = time.perf_counter() - _t0
+
+    import os
+    dump = os.environ.get("FASTPLONG_TIMER_DUMP")
+    if dump:
+        # diagnostics: per-stage wall breakdown + transfer accounting of
+        # THIS run, written as one JSON file (runtime-read env var, so it
+        # reaches daemon-resident jobs too)
+        import json
+        try:
+            with open(dump, "w") as f:
+                json.dump({
+                    "phase_seconds": {k: round(v, 4)
+                                      for k, v in _ph.items()},
+                    "stage_seconds": runner.timer.report(),
+                    "bytes_h2d": runner.bytes_h2d,
+                    "bytes_d2h": runner.bytes_d2h,
+                    "exec_load_seconds": runner.load_seconds,
+                    "host_fallback": bool(runner._fallback),
+                    "link_profile": runner.link.profile,
+                    "stream_feed": bool(runner.link.stream_feed),
+                }, f)
+        except OSError:
+            pass
     return pre_stats, post_stats, filter_result

@@ -47,11 +47,13 @@ CONFIGS = {
 def main():
     workdir = os.environ.get("FASTPLONG_BENCH_DIR", "/tmp/fastplong_bench")
     os.makedirs(workdir, exist_ok=True)
-    in_fq = os.path.join(workdir, "bench_in.fq")
+    # the SAME input bench.py times the headline on (vs_cpu_anchor must
+    # compare identical work — size and all)
+    from bench import gen_input, count_bases, input_path, bench_input_size
+    in_fq = input_path(workdir)
     if not os.path.exists(in_fq):
-        from bench import gen_input
-        gen_input(in_fq)
-    from bench import count_bases
+        n_reads, mean_len = bench_input_size()
+        gen_input(in_fq, n_reads=n_reads, mean_len=mean_len)
     total = count_bases(in_fq)
 
     if not os.path.exists(REF_BIN):
