@@ -291,7 +291,9 @@ def make_batches(block):
     trailing partial Batches covering all records of one block."""
     builders = {}
     for L, take in bucket_groups(block):
-        b = builders.setdefault(L, BatchBuilder(L))
+        b = builders.get(L)
+        if b is None:
+            b = builders[L] = BatchBuilder(L)
         pos = 0
         while pos < len(take):
             k = min(b.space, len(take) - pos)

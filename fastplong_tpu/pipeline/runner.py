@@ -438,11 +438,14 @@ class SingleEndRunner:
                     if self._warm_pool is not None:
                         self._warm_pool.submit(self._prewarm_bucket, L)
                 # monster buckets bypass the mesh (single-device stats-free
-                # step), so they don't need shard-divisible row counts
-                b = self._builders.setdefault(
-                    L, BatchBuilder(L, self.placement.n
-                                    if self.placement and L <= self.stat_cap
-                                    else 1))
+                # step), so they don't need shard-divisible row counts.
+                # NOT setdefault(L, BatchBuilder(L)): that would construct
+                # (and memset) a full padded buffer per block even on hits
+                b = self._builders.get(L)
+                if b is None:
+                    b = self._builders[L] = BatchBuilder(
+                        L, self.placement.n
+                        if self.placement and L <= self.stat_cap else 1)
                 pos = 0
                 while pos < len(take):
                     k = min(b.space, len(take) - pos)
@@ -1016,7 +1019,9 @@ class SingleEndRunner:
                 take_needed = np.intersect1d(take, sel)
                 if not len(take_needed):
                     continue
-                b = builders.setdefault(L, BatchBuilder(L))
+                b = builders.get(L)
+                if b is None:
+                    b = builders[L] = BatchBuilder(L)
                 pos = 0
                 while pos < len(take_needed):
                     k = min(b.space, len(take_needed) - pos)
