@@ -66,3 +66,34 @@ def test_split_by_lines(fq, tmp_path):
 
 def test_split_single_thread(fq, tmp_path):
     run_split_case(fq, tmp_path, ["-A", "--split", "4", "-w", "1"])
+
+
+def test_split_over_quota_documented_divergence(tmp_path_factory, tmp_path):
+    """Over-quota --split: the input (503 reads) exceeds
+    split.number*split.size (5*100) by 3 reads.
+
+    The reference's behavior past the quota is TIMING-DEPENDENT: a worker
+    whose files are full only re-checks canBeStopped between queue drains
+    (seprocessor.cpp:430-438, threadconfig.cpp:88-108), so with a slow
+    reader it drops the excess reads, while on a small input like this the
+    reader finishes first and the excess appends to the worker's last
+    file.  OUR behavior is the deterministic append in every case
+    (pipeline/split.py divergence note) — which on this small input is
+    also exactly what the reference does, so full byte parity is asserted
+    here; on large inputs the reference may drop reads where we never do
+    (the README documents this as the one known divergence).
+    """
+    d = tmp_path_factory.mktemp("golden_split_oq")
+    fq = write_random_fastq(str(d / "in.fq"), n_reads=503, min_len=30,
+                            max_len=300, seed=44)
+    run_split_case(fq, tmp_path, ["-A", "--split", "5", "-w", "3"])
+    # our no-drop invariant: every passed read is in some split file
+    import json
+    my_dir = os.path.join(str(tmp_path), "my")
+    records = 0
+    for p in glob.glob(os.path.join(my_dir, "*.out.fq")):
+        with open(p, "rb") as f:
+            records += sum(1 for _ in f) // 4
+    with open(os.path.join(my_dir, "m.json")) as f:
+        passed = json.load(f)["filtering_result"]["passed_filter_reads"]
+    assert records == passed, "split output dropped passed reads"
