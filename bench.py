@@ -248,7 +248,7 @@ def main():
     # profiles (one chip, one tunnel — device users must serialize)
     profiles = os.environ.get(
         "FASTPLONG_BENCH_PROFILES",
-        "plain,hot,device,gz,short,split,scaling,scaling2,headline"
+        "plain,hot,device,gz,short,split,hostceil,scaling,scaling2,headline"
     ).split(",")
     # each profile runs in a FRESH subprocess by default: device work in
     # one profile degrades the interconnect for everything after it in the
@@ -304,6 +304,10 @@ def main():
             elif prof == "scaling2":
                 # unconfounded 2-way scaling: pinned-core process pairs
                 # on the CPU backend (tools/scaling_2proc.py)
+                env["JAX_PLATFORMS"] = "cpu"
+                env["FASTPLONG_BENCH_DEVICES"] = "1"
+            elif prof == "hostceil":
+                # pure host-path ceiling: no device involved at all
                 env["JAX_PLATFORMS"] = "cpu"
                 env["FASTPLONG_BENCH_DEVICES"] = "1"
             elif prof != "plain":
@@ -622,6 +626,21 @@ def main():
         result["short_total_bases"] = short_bases
         result["short_wall_seconds"] = round(dt_s, 3)
 
+    if "hostceil" in profiles:
+        result.update(_host_ceiling(in_fq, workdir, total_bases))
+
+    if "scaling" in profiles and os.environ.get(
+            "FASTPLONG_BENCH_DEVICES", "1") != "1":
+        # device-step-only scaling on the same virtual mesh as the
+        # end-to-end scaling table (VERDICT r4 #4)
+        try:
+            result["scaling_step"] = _step_scaling(
+                in_fq, workdir,
+                [int(x) for x in os.environ["FASTPLONG_BENCH_DEVICES"
+                                            ].split(",")])
+        except Exception as e:
+            result["scaling_step_error"] = "%s: %s" % (type(e).__name__, e)
+
     if "scaling2" in profiles:
         # unconfounded 2-way scaling (BASELINE >=0.8 at 2 hosts): pinned
         # process pairs over byte shards, steady-state walls — see
@@ -683,6 +702,110 @@ def main():
         result["host_fallback_runs"] = FALLBACK_RUNS
 
     print(json.dumps(result))
+
+
+def _host_ceiling(in_fq, workdir, total_bases):
+    """Host-path ceiling: the full pipeline with the device step replaced
+    by a no-op that synthesizes all-pass/no-trim result rows instantly.
+    Measures what parse+pack+pre/post statRead+accumulate+emit+write+
+    reports sustain with zero device/transfer cost — the number the
+    "parse/pack-bound on direct-attached hardware" claim rests on
+    (VERDICT r4 #2).  Output is NOT parity output (nothing is trimmed);
+    this is a ceiling probe, not a correctness path."""
+    import numpy as np
+    from fastplong_tpu.pipeline.runner import SingleEndRunner
+
+    class NoDeviceRunner(SingleEndRunner):
+        def _cpu_rows(self, batch):
+            # all-pass rows in the make_fast_fn packed layout
+            # (fastplong_tpu/pipeline/device.py docstring): lo=0, hi=len,
+            # flags = null | n_out<<1, slot-0 misc = passed<<8|active<<10
+            B = len(batch.lens)
+            rows = np.zeros((B, self.n_fields), np.int32)
+            valid = np.asarray(batch.read_mask, bool)
+            lens = np.where(valid, np.asarray(batch.lens, np.int32), 0)
+            rows[:, 1] = lens
+            rows[:, 2] = np.where(valid, 1 << 1, 1)
+            rows[:, 5 + 1] = lens
+            rows[:, 5 + 4] = np.where(valid, (1 << 8) | (1 << 10), 0)
+            return rows
+
+    results = {}
+    for rep in range(2):   # best of 2: first pays imports/page cache
+        opt = build_opt(in_fq, workdir, "hostceil",
+                        extra=("--stats_backend", "host"))
+        runner = NoDeviceRunner(opt)
+        runner._fallback = True   # route every batch through _cpu_rows
+        t0 = time.time()
+        runner.run()
+        dt = time.time() - t0
+        if "host_ceiling_bases_per_second" not in results or \
+                total_bases / dt > results["host_ceiling_bases_per_second"]:
+            results["host_ceiling_bases_per_second"] = round(
+                total_bases / dt, 1)
+            results["host_ceiling_wall_seconds"] = round(dt, 3)
+            results["host_ceiling_stage_seconds"] = runner.timer.report()
+    return results
+
+
+def _step_scaling(in_fq, workdir, dev_counts):
+    """Unconfounded sharded-step scaling (VERDICT r4 #4): time the
+    production shard_map step with inputs device-resident and NO host
+    feed, at a FIXED per-device batch.  On the virtual CPU mesh all n
+    devices share the physical cores, so the honest metric is overhead:
+    wall(n devices, n*B rows) vs n * wall(1 device, B rows) — 1.0 means
+    sharding (partitioning + the psum stats reduction) adds nothing over
+    running the same total work unsharded."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from fastplong_tpu.pipeline.sharding import (
+        make_mesh, build_fast_sharded_step, MeshPlacement)
+    from fastplong_tpu.pipeline.batches import batch_rows
+    from fastplong_tpu.pipeline.device import global_stat_len, out_fields
+    from fastplong_tpu.common import FETCH_GROUP
+    opt = build_opt(in_fq, workdir, "stepscale")
+    L = 8192
+    b0 = max(8, batch_rows(L) // max(dev_counts))
+    rng = np.random.default_rng(0)
+    out = {}
+    base_wall = None
+    for n in dev_counts:
+        if n > len(jax.devices()):
+            continue
+        mesh = make_mesh(jax.devices()[:n])
+        placement = MeshPlacement(mesh)
+        step = build_fast_sharded_step(opt, mesh)[0]
+        B = b0 * n
+        packed = rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                            size=(B, L + 8)).astype(np.uint8)
+        lens = np.full(B, L, np.int32)
+        packed[:, L:L + 4] = lens.view(np.uint8).reshape(B, 4)
+        packed[:, L + 4] = 1
+        xin = placement.put_input(packed)
+        state = placement.init_state(global_stat_len())
+        outbuf = placement.put_outbuf(
+            np.zeros((FETCH_GROUP, B, out_fields(opt)), np.int32))
+        state, outbuf = step(state, outbuf, np.int32(0), xin, L)
+        jax.block_until_ready((state, outbuf))
+        reps = 4
+        t0 = time.time()
+        for i in range(reps):
+            state, outbuf = step(state, outbuf, np.int32(i % FETCH_GROUP),
+                                 xin, L)
+        jax.block_until_ready((state, outbuf))
+        wall = (time.time() - t0) / reps
+        if base_wall is None:
+            base_wall = wall
+        out[str(n)] = {
+            "wall_ms_per_step": round(wall * 1e3, 2),
+            "rows_total": B,
+            "bases_per_second": round(B * L / wall, 1),
+            # 1.0 = no sharding overhead on shared cores (see docstring)
+            "efficiency_vs_unsharded": round(
+                (n * base_wall) / wall, 4) if n > 1 else 1.0,
+        }
+    return out
 
 
 def _h2d_probe(nbytes=1 << 24):
