@@ -60,6 +60,10 @@ _TAG_BYTES = {TAG_SPLIT_LEFT: b"split-by-adapter-left-",
               TAG_SPLIT_RIGHT: b"split-by-adapter-right-"}
 
 import os as _os
+
+# buckets already warm in THIS process (resident daemon: loads are
+# per-process and survive across jobs) — see _prewarm_bucket
+_PROCESS_WARMED = set()
 _EMIT_FALLBACK = _os.environ.get("FASTPLONG_EMIT_FALLBACK", "") == "1"
 
 _SLOT_FIELDS = ("out_lo", "out_hi", "out_tag", "region_no", "is_parent",
@@ -237,6 +241,11 @@ class SingleEndRunner:
         # absorbs the first-d2h penalty.
         self._warm_pool = None
         self._warmed = set()
+        # process-global warm memo key: which loaded executables this
+        # config's buckets resolve to (see _prewarm_bucket)
+        from .device import kernel_params, _freeze
+        self._warm_memo_key = (_freeze(kernel_params(opt)),
+                               self.host_stats_mode)
         if (_os.environ.get("FASTPLONG_PREWARM", "1") == "1"
                 and self.placement is None):
             # daemon workers: a load wedged inside a dead tunnel must not
@@ -313,7 +322,15 @@ class SingleEndRunner:
     def _prewarm_bucket(self, L):
         """Load (compile-cache hit) the step executable for bucket L by
         running it once on device-resident zeros; runs on a warm-pool
-        thread, concurrent with other loads and with host parsing."""
+        thread, concurrent with other loads and with host parsing.
+
+        Process-global memo: device program loads are per-process, so a
+        resident daemon's 2nd+ jobs would otherwise re-dispatch a warm-up
+        step per bucket per job — pure device-queue waste (measured
+        0.03-9s each through the tunnel)."""
+        key = (self._warm_memo_key, L, self.link.stream_feed)
+        if key in _PROCESS_WARMED:
+            return
         try:
             if not self._warm_gate.result():
                 return
@@ -348,6 +365,7 @@ class SingleEndRunner:
             dt = time.perf_counter() - t0
             self.load_seconds[L] = round(dt, 3)
             self.link.observe_load(dt)
+            _PROCESS_WARMED.add(key)
         except Exception:
             pass
 
