@@ -211,6 +211,15 @@ def build_parser():
       help="the digits for the sequential number padding (1~10), default "
            "is 4, so the filename will be padded as 0001.xxx, 0 to disable "
            "padding")
+    a("--prewarm", action="store_true",
+      help="warm this configuration and exit (TPU-native extension): runs "
+           "the pipeline twice on a small synthetic input with the other "
+           "flags exactly as given, populating the persistent compile "
+           "cache, the warm daemon (under FASTPLONG_DAEMON=1) and its "
+           "pre-warmed worker pool, so the next real invocation of the "
+           "same flags starts hot. Run it at install/deploy time with "
+           "your production flags (device programs are specific to the "
+           "adapter/trim/filter configuration).")
     return p
 
 
@@ -336,10 +345,76 @@ def options_from_args(args, argv):
     return opt
 
 
+def _run_prewarm(argv):
+    """--prewarm: run the given configuration twice over a small synthetic
+    input (adapters planted so explicit-adapter configs exercise their
+    exact kernel chain), leaving the compile cache, the daemon and its
+    worker pool hot for the next real invocation.  Outputs go to a
+    temporary directory."""
+    import tempfile
+    import shutil
+    args = [a for a in argv[1:] if a != "--prewarm"]
+    # strip any I/O options the caller passed; prewarm supplies its own
+    io_opts = {"-i", "--in", "-o", "--out", "--failed_out", "-j",
+               "--json", "-h", "--html"}
+    cleaned, skip = [], False
+    start, end = "", ""
+    for i, a in enumerate(args):
+        if skip:
+            skip = False
+            continue
+        if a in io_opts:
+            skip = True
+            continue
+        if a.split("=", 1)[0] in io_opts:
+            continue
+        if a in ("-s", "--start_adapter") and i + 1 < len(args):
+            start = args[i + 1]
+        if a in ("-e", "--end_adapter") and i + 1 < len(args):
+            end = args[i + 1]
+        cleaned.append(a)
+    if start and start != "auto" and (not end or end == "auto"):
+        end = reverse_complement(start)
+    d = tempfile.mkdtemp(prefix="fastplong_prewarm_")
+    try:
+        import numpy as np
+        rng = np.random.default_rng(5)
+        fq = os.path.join(d, "warm.fq")
+        bases = np.frombuffer(b"ACGT", np.uint8)
+        with open(fq, "wb") as f:
+            for i in range(2000):
+                n = max(60, int(rng.gamma(3.0, 700.0)))
+                seq = rng.choice(bases, size=n).tobytes()
+                if start and start != "auto" and rng.random() < 0.8:
+                    seq = start.encode() + seq
+                if end and end != "auto" and rng.random() < 0.8:
+                    seq = seq + end.encode()
+                q = rng.integers(38, 73, size=len(seq),
+                                 dtype=np.uint8).tobytes()
+                f.write(b"@w%d\n" % i + seq + b"\n+\n" + q + b"\n")
+        base = ["fastplong", "-i", fq, "-o", os.path.join(d, "out.fq"),
+                "-j", os.path.join(d, "r.json"),
+                "-h", os.path.join(d, "r.html")] + cleaned
+        t0 = time.time()
+        rc = main(base) or 0
+        t1 = time.time()
+        if rc == 0:
+            rc = main(base) or 0
+        t2 = time.time()
+        sys.stderr.write(
+            "prewarm: cold pass %.1fs, warm pass %.1fs (rc=%d)\n"
+            % (t1 - t0, t2 - t1, rc))
+        return rc
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main(argv=None):
     import os as _os
     if argv is None:
         argv = sys.argv
+    if len(argv) > 1 and "--prewarm" in argv[1:]:
+        return _run_prewarm(argv)
     # warm-daemon path (opt-in, BEFORE anything touches jax — the client
     # must stay import-light): hand the job to the resident process,
     # where backend init + device program loads are already paid, so the
