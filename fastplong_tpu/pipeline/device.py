@@ -574,8 +574,15 @@ def build_stream(packed, L):
     if w >= B * (L + 8):
         return None
     buf = np.full(w, 255, np.uint8)
-    valid = np.arange(L, dtype=np.int64)[None, :] < lens[:, None]
-    buf[:used] = packed[:, :L][valid]
+    # per-row prefix copies (memcpy) — 15x faster than a boolean-mask
+    # gather over the padded cells (measured 10ms vs 154ms per
+    # [2048, 16K] batch); this runs on the dispatcher thread per batch
+    off = 0
+    for i in range(B):
+        n = int(lens[i])
+        if n:
+            buf[off:off + n] = packed[i, :n]
+            off += n
     buf[w - 8 * B:] = packed[:, L:].ravel()
     return buf
 
