@@ -326,6 +326,53 @@ class _Worker:
                 pass
 
 
+class _PathScore:
+    """Recent job walls per (config key, path): the broker routes each
+    job to whichever of {pristine worker, resident} ran faster recently.
+
+    Why adaptive: the worker path's fixed tax is the first-d2h regime
+    flip, measured 0.7s-190s depending on tunnel weather, while the
+    resident path's tax is shipping the feed through the degraded link
+    (1.05 bytes/base at 8-42 MB/s measured).  Neither dominates across
+    weather; each path is sampled once per config and the winner serves
+    subsequent jobs, with the loser re-sampled on a slow cadence so a
+    weather change is noticed."""
+
+    TTL = 1800.0      # samples older than this are stale weather
+    RETRY_EVERY = 8   # re-sample the losing path every N jobs
+
+    def __init__(self):
+        self.walls = {}   # (key, path) -> (monotonic_time, wall_seconds)
+        self.count = {}   # key -> jobs routed
+
+    def record(self, key, path, wall):
+        self.walls[(key, path)] = (time.monotonic(), wall)
+
+    def _get(self, key, path):
+        v = self.walls.get((key, path))
+        if v is None or time.monotonic() - v[0] > self.TTL:
+            return None
+        return v[1]
+
+    def choose(self, key, worker_ready):
+        """'worker' or 'resident'."""
+        n = self.count.get(key, 0)
+        self.count[key] = n + 1
+        if not worker_ready:
+            return "resident"
+        rw = self._get(key, "resident")
+        ww = self._get(key, "worker")
+        if ww is None:
+            return "worker"      # explore the unsampled path
+        if rw is None:
+            return "resident"
+        better = "worker" if ww <= rw else "resident"
+        if n % self.RETRY_EVERY == self.RETRY_EVERY - 1:
+            # periodic re-sample of the loser (weather moves)
+            return "resident" if better == "worker" else "worker"
+        return better
+
+
 class _WorkerPool:
     """A target-size set of pre-warmed single-use workers, replenished
     eagerly; `take` only ever returns a FULLY warm worker with a matching
@@ -335,6 +382,10 @@ class _WorkerPool:
         self.target = max(0, int(os.environ.get(
             "FASTPLONG_DAEMON_POOL", "2")))
         self.workers = []
+
+    def has_ready(self, argv):
+        key = job_key(argv)
+        return any(w.key == key and w.ready() for w in self.workers)
 
     def ensure(self, argv):
         """Replenish toward target for this argv's config; retire workers
@@ -510,6 +561,7 @@ def serve():
     env0 = _env_snapshot()
     mode = _daemon_mode()
     pool = _WorkerPool() if mode in ("pool", "auto") else None
+    scores = _PathScore()
     pool_on = [mode == "pool"]   # auto: resolved by the async probe below
     if pool is not None and mode == "auto":
         import threading
@@ -552,21 +604,31 @@ def serve():
                                      "env differs: %s" % ",".join(bad)})
                     continue
                 reply = None
+                argv = job.get("argv") or []
+                key = job_key(argv)
                 use_pool = pool is not None and pool_on[0]
+                path = "resident"
+                t_job = time.monotonic()
                 if use_pool:
-                    w = pool.take(job.get("argv") or [])
-                    # replenish FIRST, taken or not: replacement warm-ups
-                    # overlap this job's run, so a burst of back-to-back
-                    # jobs (the first of which always runs resident in a
-                    # fresh daemon) finds warm workers from job 2 on
-                    pool.ensure(job.get("argv"))
-                    if w is not None:
-                        reply = w.run_job(job)
+                    path = scores.choose(key, pool.has_ready(argv))
+                    if path == "worker":
+                        w = pool.take(argv)
+                        if w is not None:
+                            reply = w.run_job(job)
+                    # replenish either way: replacement warm-ups overlap
+                    # this job's run, so a burst of back-to-back jobs
+                    # (the first of which always runs resident in a fresh
+                    # daemon) finds warm workers from job 2 on
+                    pool.ensure(argv)
                 if reply is None:
-                    # no warm worker (or it died): run resident — the
-                    # pool is an accelerator, never a dependency
+                    # routed resident, no warm worker, or it died: run in
+                    # the broker — the pool is an accelerator, never a
+                    # dependency
+                    path = "resident"
                     rc, err, out = _run_job(job)
                     reply = {"rc": rc, "stderr": err, "stdout": out}
+                if reply.get("rc") == 0:
+                    scores.record(key, path, time.monotonic() - t_job)
                 _send_msg(conn, reply)
             except (OSError, ValueError):
                 pass  # client went away mid-job; keep serving

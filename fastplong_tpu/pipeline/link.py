@@ -152,6 +152,14 @@ class LinkPolicy:
             return v
         return self.trim_partials
 
+    # NOTE (round 5, measured): do NOT drain eagerly post-flip.  A
+    # resident process that already paid the first-d2h flip looks like it
+    # could stream drains during the dispatch phase (emit overlapping the
+    # h2d tail), but the tunnel serializes directions: in-job d2h
+    # measured ~0.3 MB/s while h2d was in flight vs 8-10 MB/s after the
+    # feed finished.  The deferred-EOF drain schedule wins even when
+    # there is no flip left to protect.
+
     def observe_fetch(self, nbytes, seconds):
         """Adapt to observed d2h bandwidth (called from the fetcher
         thread after each real result fetch)."""

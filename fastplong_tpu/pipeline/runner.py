@@ -64,6 +64,13 @@ import os as _os
 # buckets already warm in THIS process (resident daemon: loads are
 # per-process and survive across jobs) — see _prewarm_bucket
 _PROCESS_WARMED = set()
+
+# True once THIS process has performed a device->host fetch (the
+# permanent per-process first-d2h regime flip has been paid).  Purely
+# diagnostic: eager post-flip drains were tried and measured WORSE (see
+# the note in pipeline/link.py — the tunnel serializes directions), so
+# the deferred-EOF schedule applies regardless.
+_PROCESS_FLIPPED = [False]
 _EMIT_FALLBACK = _os.environ.get("FASTPLONG_EMIT_FALLBACK", "") == "1"
 
 _SLOT_FIELDS = ("out_lo", "out_hi", "out_tag", "region_no", "is_parent",
@@ -227,6 +234,8 @@ class SingleEndRunner:
         self.bytes_h2d = 0
         self.bytes_d2h = 0
         self.load_seconds = {}
+        # per-drain-part log: (bytes, slice_s, queue_wait_s, transfer_s)
+        self._fetch_log = []
         # executable prewarm: the first call per bucket shape costs
         # seconds through a tunneled interconnect (compile-cache load +
         # device program load), so a thread pool warms each bucket's step
@@ -843,10 +852,18 @@ class SingleEndRunner:
             if isinstance(p, tuple):
                 buf, kq, uq, K, B = p
                 p = buf if (kq >= K and uq >= B) else buf[:kq, :uq]
+            t1 = time.perf_counter()
+            jax.block_until_ready(p)   # device queue ahead of the slice
+            t2 = time.perf_counter()
             out = _fetch_np(p, slice_bytes)
+            t3 = time.perf_counter()
+            _PROCESS_FLIPPED[0] = True
             # observed bandwidth feeds the adaptive policy (watermark
             # depths + slice size for LATER flushes)
-            self.link.observe_fetch(out.nbytes, time.perf_counter() - t0)
+            self.link.observe_fetch(out.nbytes, t3 - t2)
+            self._fetch_log.append(
+                (out.nbytes, round(t1 - t0, 3), round(t2 - t1, 3),
+                 round(t3 - t2, 3)))
             return out
 
         # ONE FUTURE PER PART on the single fetcher worker: the drain

@@ -99,6 +99,7 @@ def process(opt):
                     "bytes_h2d": runner.bytes_h2d,
                     "bytes_d2h": runner.bytes_d2h,
                     "exec_load_seconds": runner.load_seconds,
+                    "fetch_log": runner._fetch_log,
                     "host_fallback": bool(runner._fallback),
                     "link_profile": runner.link.profile,
                     "stream_feed": bool(runner.link.stream_feed),
