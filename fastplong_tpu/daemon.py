@@ -167,8 +167,17 @@ def _run_job(job):
     except SystemExit as e:
         rc = e.code if isinstance(e.code, int) else 1
     except BaseException:
-        buf.write(traceback.format_exc())
-        rc = 70
+        tb = traceback.format_exc()
+        buf.write(tb)
+        if "Unable to initialize backend" in tb:
+            # THIS serving process cannot reach the accelerator (e.g. it
+            # was respawned from a client whose env lacked the device
+            # plugin's variables): the job must not fail through us —
+            # rc None makes the server reply "incompatible" (the client
+            # reruns in-process under its own env) and retire itself
+            rc = None
+        else:
+            rc = 70
     finally:
         for k in list(os.environ):
             if k.startswith(_JOB_VARS_PREFIX) and k not in saved:
@@ -627,6 +636,13 @@ def serve():
                     path = "resident"
                     rc, err, out = _run_job(job)
                     reply = {"rc": rc, "stderr": err, "stdout": out}
+                if reply.get("rc") is None:
+                    # the serving process cannot reach the accelerator:
+                    # hand the job back (client runs in-process) and
+                    # retire — a daemon without a device only harms
+                    _send_msg(conn, {"incompatible":
+                                     "daemon cannot reach the device"})
+                    return 0
                 if reply.get("rc") == 0:
                     scores.record(key, path, time.monotonic() - t_job)
                 _send_msg(conn, reply)
