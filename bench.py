@@ -354,7 +354,7 @@ def main():
             if prof == "headline":
                 # best of N fresh processes: the d2h path's documented
                 # weather swings make single samples meaningless
-                n = int(os.environ.get("FASTPLONG_BENCH_HEADLINE_RUNS", "3"))
+                n = int(os.environ.get("FASTPLONG_BENCH_HEADLINE_RUNS", "4"))
                 best, runs = None, []
                 for _ in range(max(1, n)):
                     part, err = run_child(prof)

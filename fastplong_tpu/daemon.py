@@ -571,14 +571,17 @@ def serve():
     mode = _daemon_mode()
     pool = _WorkerPool() if mode in ("pool", "auto") else None
     scores = _PathScore()
-    pool_on = [mode == "pool"]   # auto: resolved by the async probe below
+    # auto mode: the async probe only DISABLES the pool on direct-attached
+    # hardware (pristine workers buy nothing there); until it concludes,
+    # workers spawn optimistically so the very first jobs already have
+    # warm ones, and the _PathScore measurements decide the routing
+    pool_on = [True if mode == "pool" else None]
     if pool is not None and mode == "auto":
         import threading
 
         def _resolve():
             t = _probe_tunneled()
-            if t:
-                pool_on[0] = True   # tunneled: pristine workers win
+            pool_on[0] = t is not False
 
         threading.Thread(target=_resolve, daemon=True).start()
     last = time.time()
@@ -615,7 +618,7 @@ def serve():
                 reply = None
                 argv = job.get("argv") or []
                 key = job_key(argv)
-                use_pool = pool is not None and pool_on[0]
+                use_pool = pool is not None and pool_on[0] is not False
                 path = "resident"
                 t_job = time.monotonic()
                 if use_pool:

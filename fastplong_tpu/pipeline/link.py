@@ -42,11 +42,16 @@ class LinkPolicy:
         # input the held-block watermark can absorb: measured (round 4),
         # pre-first-d2h h2d runs at ~1.8 GB/s and collapses to ~27-38
         # MB/s after it, so keeping the whole dispatch phase in fast
-        # mode beats overlapping the drain (hot 13.4 vs 6.3 Mbases/s)
+        # mode beats overlapping the drain (hot 13.4 vs 6.3 Mbases/s).
+        # stream_feed default ON since round 5 (VERDICT r4 #1): h2d
+        # bytes are the wall whenever the degraded regime is entered
+        # (any process that fetches mid-run, and every resident-daemon
+        # job), and the prewarm pool loads the few extra (w, L, B)
+        # unpack executables concurrently off-clock.
         "tunnel": dict(max_in_flight=3, flush_blocks=160,
                        max_blocks_pending=192, early_fetch_bytes=1 << 30,
                        fetch_slice=12 << 20, trim_partials=False,
-                       eager_drain=False, stream_feed=False,
+                       eager_drain=False, stream_feed=True,
                        fetch_full_ring=False),
         # shallow watermarks: fetch eagerly, keep held-block memory small;
         # no d2h slicing (the collapse-above-16MB pathology is tunnel-

@@ -65,6 +65,12 @@ import os as _os
 # per-process and survive across jobs) — see _prewarm_bucket
 _PROCESS_WARMED = set()
 
+# (L, B, w) stream-feed unpack shapes already loaded in this process:
+# _feed_input streams a batch through an UNwarmed shape only when shapes
+# amortize (daemon-resident) — a one-shot run falls back to the padded
+# feed for it instead of stalling on an on-demand program load
+_WARM_STREAM_SHAPES = set()
+
 # True once THIS process has performed a device->host fetch (the
 # permanent per-process first-d2h regime flip has been paid).  Purely
 # diagnostic: eager post-flip drains were tried and measured WORSE (see
@@ -356,8 +362,9 @@ class SingleEndRunner:
             packed = jnp.zeros((B, L + 8), jnp.uint8)
             if self.link.stream_feed:
                 # warm the likely stream-feed shapes too (w quantized to
-                # eighths of the payload; typical batch fills land on
-                # 5/8..8/8) — each is a tiny program, loaded off-clock
+                # eighths of the payload; FULL batches land on 5/8..8/8
+                # since bucket growth bounds fill ≥ 2/3) — each is a tiny
+                # program, loaded off-clock
                 from .device import unpack_stream, stream_quantum
                 stp = stream_quantum(B, L)
                 for k in (5, 6, 7, 8):
@@ -365,6 +372,7 @@ class SingleEndRunner:
                     if w < B * (L + 8):
                         jax.block_until_ready(unpack_stream(
                             jnp.zeros(w, jnp.uint8), L, B))
+                        _WARM_STREAM_SHAPES.add((L, B, w))
             if nostats:
                 r = self._get_nostats_step()(outbuf, np.int32(0), packed, L)
             else:
@@ -726,8 +734,16 @@ class SingleEndRunner:
         if self.link.stream_feed and batch.layout == "b5":
             from .device import build_stream, unpack_stream
             stream = build_stream(batch.packed, batch.L)
-            if stream is not None:
-                # account the actual transferred bytes (diagnostics)
+            if stream is not None and (
+                    (batch.L, batch.packed.shape[0], stream.shape[0])
+                    in _WARM_STREAM_SHAPES
+                    or _os.environ.get("FASTPLONG_DAEMON_CHILD") == "1"):
+                # stream only through an already-loaded unpack shape
+                # (prewarm covers every full-batch shape); a process
+                # where shapes amortize (daemon-resident) streams
+                # everything — an unwarmed shape's on-demand program
+                # load would otherwise stall a one-shot run's EOF
+                # partials for 0.5-9s each
                 self.bytes_h2d += stream.nbytes - batch.packed.nbytes
                 return unpack_stream(jax.numpy.asarray(stream), batch.L,
                                      batch.packed.shape[0])
