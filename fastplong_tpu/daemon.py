@@ -374,13 +374,16 @@ class _PathScore:
         before."""
         n = self.count.get(key, 0)
         self.count[key] = n + 1
+        hinted = hint == "warmup"
+        if hinted:
+            # recorded even when no worker is ready yet (the cold first
+            # job): unhinted jobs must defer exploration from the start
+            self.hinted[key] = time.monotonic()
         if not worker_ready:
             return "resident"
         rw = self._get(key, "resident")
         ww = self._get(key, "worker")
-        hinted = hint == "warmup"
         if hinted:
-            self.hinted[key] = time.monotonic()
             if ww is None:
                 return "worker"
             if rw is None:
