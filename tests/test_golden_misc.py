@@ -131,3 +131,40 @@ def test_dont_overwrite_stderr_parity(tmp_path):
     got = [ln for ln in r_our.stderr.decode().splitlines()
            if "already exists" in ln]
     assert want and want == got, (want, got)
+
+
+def test_worker_config_pins_byte_parity(tmp_path):
+    """The daemon pool worker's config pins (pinned 2-bucket ladder +
+    whole-rows ring slices, daemon._Worker.ENV) must be byte-invariant:
+    bucket choice and drain slicing are pure execution geometry.  Runs
+    the CLI in a subprocess so the import-time FASTPLONG_BUCKETS pin
+    takes effect."""
+    import subprocess
+    import sys
+    fq = write_random_fastq(str(tmp_path / "in.fq"), n_reads=300,
+                            min_len=30, max_len=900, seed=91,
+                            adapter_start="AATGTACTTCGTTCAGTTACGTATTGCT",
+                            adapter_prob=0.5)
+    extra = ["-s", "AATGTACTTCGTTCAGTTACGTATTGCT", "-x", "-5"]
+    ref_out, ref_failed, ref_json, _ = run_reference(
+        fq, str(tmp_path), extra)
+    env = dict(os.environ)
+    env["FASTPLONG_BUCKETS"] = "2048,16384"
+    env["FASTPLONG_FETCH_FULL_RING"] = "1"
+    env["FASTPLONG_STREAM_FEED"] = "0"
+    env["FASTPLONG_TRIM_PARTIALS"] = "0"
+    env.pop("FASTPLONG_DAEMON", None)
+    my_out = str(tmp_path / "w_out.fq")
+    my_failed = str(tmp_path / "w_failed.fq")
+    my_json = str(tmp_path / "w.json")
+    r = subprocess.run(
+        [sys.executable, "-m", "fastplong_tpu.main", "-i", fq,
+         "-o", my_out, "--failed_out", my_failed, "-j", my_json,
+         "-h", str(tmp_path / "w.html")] + extra,
+        capture_output=True, timeout=600, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    assert open(ref_out, "rb").read() == open(my_out, "rb").read()
+    assert open(ref_failed, "rb").read() == open(my_failed, "rb").read()
+    assert (strip_command(open(ref_json).read())
+            == strip_command(open(my_json).read()))
