@@ -53,7 +53,7 @@ def test_fallback_byte_parity(tmp_path, monkeypatch):
     a.mkdir()
     out_a, failed_a, json_a = run_ours(fq, str(a), args)
 
-    monkeypatch.setenv("FASTPLONG_FETCH_TIMEOUT", "0.3")
+    monkeypatch.setenv("FASTPLONG_FETCH_TIMEOUT", "2.0")
     calls = _stuck_first_fetch(monkeypatch)
     b = tmp_path / "b"
     b.mkdir()
@@ -81,7 +81,7 @@ def test_fallback_midrun_dispatch(tmp_path, monkeypatch):
     a.mkdir()
     out_a, failed_a, json_a = run_ours(fq, str(a), args)
 
-    monkeypatch.setenv("FASTPLONG_FETCH_TIMEOUT", "0.3")
+    monkeypatch.setenv("FASTPLONG_FETCH_TIMEOUT", "2.0")
     monkeypatch.setattr(runner_mod, "FETCH_GROUP", 1)
     monkeypatch.setattr(runner_mod.SingleEndRunner, "MAX_IN_FLIGHT", 0)
     _stuck_first_fetch(monkeypatch)
@@ -107,7 +107,7 @@ def test_fallback_monster_rebuild(tmp_path, monkeypatch):
     a.mkdir()
     out_a, failed_a, json_a = run_ours(fq, str(a), args)
 
-    monkeypatch.setenv("FASTPLONG_FETCH_TIMEOUT", "0.3")
+    monkeypatch.setenv("FASTPLONG_FETCH_TIMEOUT", "2.0")
     _stuck_first_fetch(monkeypatch)
     b = tmp_path / "b"
     b.mkdir()
@@ -136,7 +136,7 @@ def test_fallback_device_stats(tmp_path, monkeypatch):
     a.mkdir()
     out_a, failed_a, json_a = run_ours(fq, str(a), args)
 
-    monkeypatch.setenv("FASTPLONG_FETCH_TIMEOUT", "0.3")
+    monkeypatch.setenv("FASTPLONG_FETCH_TIMEOUT", "2.0")
     monkeypatch.setattr(fast_runner.DeviceStats, "DRAIN_EVERY", 2)
     calls = _stuck_first_fetch(monkeypatch)
     b = tmp_path / "b"
@@ -163,7 +163,7 @@ def test_fallback_mesh_devices2(tmp_path, monkeypatch):
     a.mkdir()
     out_a, failed_a, json_a = run_ours(fq, str(a), args)
 
-    monkeypatch.setenv("FASTPLONG_FETCH_TIMEOUT", "0.3")
+    monkeypatch.setenv("FASTPLONG_FETCH_TIMEOUT", "2.0")
     _stuck_first_fetch(monkeypatch)
     b = tmp_path / "b"
     b.mkdir()
@@ -224,7 +224,7 @@ def test_fallback_numpy_backend_parity(tmp_path, monkeypatch):
                 "Unknown backend cpu. Available backends are ['axon']")
         return real_devices(platform)
 
-    monkeypatch.setenv("FASTPLONG_FETCH_TIMEOUT", "0.3")
+    monkeypatch.setenv("FASTPLONG_FETCH_TIMEOUT", "2.0")
     monkeypatch.setattr(runner_mod.jax, "devices", no_cpu_devices)
     _stuck_first_fetch(monkeypatch)
     b = tmp_path / "b"
@@ -250,7 +250,7 @@ def test_fallback_forced_numpy_env(tmp_path, monkeypatch):
     a.mkdir()
     out_a, failed_a, json_a = run_ours(fq, str(a), args)
 
-    monkeypatch.setenv("FASTPLONG_FETCH_TIMEOUT", "0.3")
+    monkeypatch.setenv("FASTPLONG_FETCH_TIMEOUT", "2.0")
     monkeypatch.setenv("FASTPLONG_FALLBACK_BACKEND", "numpy")
     _stuck_first_fetch(monkeypatch)
     b = tmp_path / "b"
