@@ -177,3 +177,43 @@ def test_daemon_env_mismatch_falls_back(tmp_path, daemon_env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert r2.returncode == 0, r2.stderr.decode()[-2000:]
     assert b"daemon unavailable" in r2.stderr  # in-process fallback ran
+
+
+def test_daemon_concurrent_clients(tmp_path, daemon_env):
+    """Two clients racing one broker: the second queues at the hello and
+    both jobs complete with correct outputs (the device is serialized
+    either way, daemon._connect)."""
+    import threading
+    fq = write_random_fastq(str(tmp_path / "in.fq"), n_reads=120,
+                            min_len=30, max_len=400, seed=101,
+                            adapter_start=START, adapter_prob=0.3)
+    a = tmp_path / "a"
+    a.mkdir()
+    out_a, failed_a, json_a = run_ours(fq, str(a), ["-s", START])
+    # warm the daemon first so both racers hit a live broker
+    w = tmp_path / "w"
+    w.mkdir()
+    r = _cli(["-i", fq, "-o", str(w / "out.fq"), "-j", str(w / "r.json"),
+              "-h", str(w / "r.html"), "-s", START])
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+
+    results = {}
+
+    def run_one(tag):
+        b = tmp_path / tag
+        b.mkdir()
+        results[tag] = (_cli(["-i", fq, "-o", str(b / "out.fq"),
+                              "--failed_out", str(b / "failed.fq"),
+                              "-j", str(b / "r.json"),
+                              "-h", str(b / "r.html"), "-s", START]), b)
+
+    ts = [threading.Thread(target=run_one, args=("c%d" % i,))
+          for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=600)
+    for tag, (r, b) in results.items():
+        assert r.returncode == 0, (tag, r.stderr.decode()[-2000:])
+        assert _read(str(b / "out.fq")) == _read(out_a), tag
+        assert _read(str(b / "failed.fq")) == _read(failed_a), tag
