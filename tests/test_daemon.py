@@ -217,3 +217,101 @@ def test_daemon_concurrent_clients(tmp_path, daemon_env):
         assert r.returncode == 0, (tag, r.stderr.decode()[-2000:])
         assert _read(str(b / "out.fq")) == _read(out_a), tag
         assert _read(str(b / "failed.fq")) == _read(failed_a), tag
+
+
+def test_quiesce_pause_gate(tmp_path, monkeypatch):
+    """_pause_while_quiesced blocks while the broker's flag is up,
+    returns when it drops, and ignores a stale (dead-broker) flag."""
+    import threading
+    from fastplong_tpu import daemon
+
+    d = tmp_path / "qd"
+    d.mkdir()
+    monkeypatch.setenv("FASTPLONG_DAEMON_DIR", str(d))
+    q = daemon._quiesce_path()
+
+    # no flag: returns immediately
+    t0 = time.time()
+    daemon._pause_while_quiesced()
+    assert time.time() - t0 < 0.5
+
+    # fresh flag: blocks until removed
+    with open(q, "w") as f:
+        f.write("1")
+    threading.Timer(0.8, os.unlink, args=(q,)).start()
+    t0 = time.time()
+    daemon._pause_while_quiesced()
+    waited = time.time() - t0
+    assert 0.5 < waited < 5.0, waited
+
+    # stale flag (mtime far in the past): ignored
+    with open(q, "w") as f:
+        f.write("1")
+    os.utime(q, (time.time() - 900, time.time() - 900))
+    t0 = time.time()
+    daemon._pause_while_quiesced()
+    assert time.time() - t0 < 0.5
+
+
+def test_pool_spawns_serialized(monkeypatch):
+    """ensure() starts at most one worker per call and none while
+    another is still warming (round-5 contention fix)."""
+    from fastplong_tpu import daemon
+
+    spawned = []
+
+    class FakeWorker:
+        def __init__(self, argv):
+            self.key = daemon.job_key(argv)
+            self._ready = False
+            spawned.append(self)
+
+        def ready(self):
+            return self._ready
+
+        def alive(self):
+            return True
+
+        def kill(self):
+            pass
+
+    monkeypatch.setattr(daemon, "_Worker", FakeWorker)
+    monkeypatch.setenv("FASTPLONG_DAEMON_POOL", "3")
+    pool = daemon._WorkerPool()
+    argv = ["x", "-i", "in.fq", "-o", "out.fq", "-s", "ACGT"]
+
+    pool.ensure(argv)
+    assert len(spawned) == 1
+    pool.ensure(argv)          # first still warming: no new spawn
+    assert len(spawned) == 1
+    spawned[0]._ready = True
+    pool.ensure(argv)          # warm: next one may start
+    assert len(spawned) == 2
+    spawned[1]._ready = True
+    pool.ensure(argv)
+    assert len(spawned) == 3
+    pool.ensure(argv)          # at target: no spawn beyond 3
+    spawned[2]._ready = True
+    pool.ensure(argv)
+    assert len(spawned) == 3
+
+
+def test_pool_status_command(tmp_path, daemon_env):
+    """The broker answers cmd=pool with ready/target without running a
+    job, and tops the pool up for the given argv."""
+    from fastplong_tpu import daemon
+
+    fq = str(tmp_path / "in.fq")
+    write_random_fastq(fq, n_reads=20, seed=5)
+    out = tmp_path / "o"
+    out.mkdir()
+    # spawn the daemon via a real job
+    r = _cli(["-i", fq, "-o", str(out / "out.fq"),
+              "-j", str(out / "r.json"), "-h", str(out / "r.html"),
+              "-s", START])
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    st = daemon.pool_status(["x", "-i", fq, "-o", str(out / "out.fq"),
+                             "-s", START])
+    assert st is not None and st.get("ok")
+    assert "ready" in st and "target" in st
+    assert st["ready"] <= max(st["target"], 0)
